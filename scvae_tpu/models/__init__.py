@@ -1,0 +1,29 @@
+"""Model layer: VAE and GMVAE as pure-functional JAX models plus the
+high-level training/evaluation API classes.
+
+TPU-native counterpart of ``scvae/models/``.
+"""
+
+from scvae_tpu.models.objectives import EarlyStopping, log_reduce_exp, warm_up_weight
+from scvae_tpu.models.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    tree_finite,
+)
+from scvae_tpu.models.vae import VAEConfig
+
+__all__ = [
+    "EarlyStopping",
+    "TrainState",
+    "VAEConfig",
+    "create_train_state",
+    "log_reduce_exp",
+    "make_eval_step",
+    "make_optimizer",
+    "make_train_step",
+    "tree_finite",
+    "warm_up_weight",
+]

@@ -1,0 +1,151 @@
+"""Pure-functional dense networks (encoder/decoder MLPs).
+
+TPU-native counterpart of the reference's ``dense_layer``/``dense_layers``
+(``scvae/models/utilities.py:38-126``): dropout → linear → batch-norm →
+activation, with batch-norm configured like TF1 ``contrib.layers.batch_norm``
+(center=True, scale=False, decay=0.999, eps=1e-3).  Instead of TF variable
+scopes, parameters and batch-norm running statistics are explicit pytrees,
+so the same apply function works under ``jit``/``pjit``/``vmap`` (the GMVAE
+reuses one parameter set across clusters by vmapping over the cluster axis
+rather than ``reuse=True`` subgraphs).
+
+Batch statistics are computed with ``jnp.mean`` over the batch axes; under
+a data-parallel mesh XLA turns these into global-mean collectives
+automatically, so multi-chip batch norm matches single-chip semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+State = dict[str, Any]
+
+BN_DECAY = 0.999
+BN_EPS = 1e-3
+
+
+def glorot_uniform(rng: jax.Array, shape: tuple[int, int]) -> jax.Array:
+    """Xavier/Glorot uniform — TF1 ``fully_connected`` default initialiser."""
+    fan_in, fan_out = shape
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(
+        rng, shape, jnp.float32, minval=-limit, maxval=limit
+    )
+
+
+def init_dense(rng: jax.Array, in_dim: int, out_dim: int) -> Params:
+    return {
+        "kernel": glorot_uniform(rng, (in_dim, out_dim)),
+        "bias": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def apply_dense(params: Params, x: jax.Array) -> jax.Array:
+    return jnp.matmul(x, params["kernel"]) + params["bias"]
+
+
+def init_batch_norm(dim: int) -> tuple[Params, State]:
+    params = {"beta": jnp.zeros((dim,), jnp.float32)}  # center=True, scale=False
+    state = {
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "var": jnp.ones((dim,), jnp.float32),
+    }
+    return params, state
+
+
+def apply_batch_norm(
+    params: Params,
+    state: State,
+    x: jax.Array,
+    *,
+    training: bool,
+) -> tuple[jax.Array, State]:
+    """Normalise over all leading axes; returns (output, new_state)."""
+    if training:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        new_state = {
+            "mean": BN_DECAY * state["mean"] + (1.0 - BN_DECAY) * mean,
+            "var": BN_DECAY * state["var"] + (1.0 - BN_DECAY) * var,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * jax.lax.rsqrt(var + BN_EPS) + params["beta"]
+    return y, new_state
+
+
+def dropout(rng: jax.Array, x: jax.Array, keep_prob: float) -> jax.Array:
+    """Inverted dropout with the reference's keep-probability convention."""
+    if keep_prob >= 1.0 or keep_prob <= 0.0:
+        return x
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0)
+
+
+def init_mlp(
+    rng: jax.Array,
+    in_dim: int,
+    hidden_sizes: Sequence[int],
+    *,
+    batch_norm: bool,
+) -> tuple[Params, State]:
+    layers = []
+    bn_params, bn_state = [], []
+    dim = in_dim
+    for size in hidden_sizes:
+        rng, sub = jax.random.split(rng)
+        layers.append(init_dense(sub, dim, size))
+        if batch_norm:
+            p, s = init_batch_norm(size)
+            bn_params.append(p)
+            bn_state.append(s)
+        dim = size
+    params: Params = {"layers": layers}
+    state: State = {}
+    if batch_norm:
+        params["batch_norm"] = bn_params
+        state["batch_norm"] = bn_state
+    return params, state
+
+
+def apply_mlp(
+    params: Params,
+    state: State,
+    x: jax.Array,
+    *,
+    training: bool,
+    rng: jax.Array | None = None,
+    activation: Callable[[jax.Array], jax.Array] = jax.nn.relu,
+    input_dropout_keep_prob: float = 1.0,
+    hidden_dropout_keep_prob: float = 1.0,
+) -> tuple[jax.Array, State]:
+    """Dropout → dense → batch-norm → activation per layer, like the
+    reference's ``dense_layers`` stacking (``scvae/models/utilities.py:81-126``)."""
+    use_bn = "batch_norm" in params
+    new_bn_states = []
+    h = x
+    for i, layer in enumerate(params["layers"]):
+        keep = input_dropout_keep_prob if i == 0 else hidden_dropout_keep_prob
+        if training and rng is not None and keep < 1.0:
+            rng, sub = jax.random.split(rng)
+            h = dropout(sub, h, keep)
+        h = apply_dense(layer, h)
+        if use_bn:
+            h, bn_s = apply_batch_norm(
+                params["batch_norm"][i],
+                state["batch_norm"][i],
+                h,
+                training=training,
+            )
+            new_bn_states.append(bn_s)
+        h = activation(h)
+    new_state: State = {}
+    if use_bn:
+        new_state["batch_norm"] = new_bn_states
+    return h, new_state
