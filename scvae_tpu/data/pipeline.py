@@ -1,0 +1,159 @@
+"""Host input pipeline: sparse CSR shards → dense device batches.
+
+The reference densifies each minibatch inline in the train loop
+(``scvae/models/variational_autoencoder.py:997-998``) and feeds it through
+``feed_dict``.  Here the pipeline is an explicit component designed for
+TPU feeding:
+
+* shuffled epoch permutations from a seeded ``numpy`` RNG on the host;
+* CSR row-slice → dense ``float32`` conversion per batch (cheap row
+  gather, no full-matrix densification);
+* **prefetch**: the next batch is densified and ``jax.device_put`` while
+  the current step runs, so host work overlaps device compute;
+* under a data-parallel mesh, each batch is placed with a batch-axis
+  ``NamedSharding``, giving every chip only its own rows (multi-host:
+  each process densifies only its addressable shard).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Iterator
+
+import numpy as np
+import scipy.sparse
+
+import jax
+
+
+def densify_rows(values, indices: np.ndarray) -> np.ndarray:
+    """Slice rows and densify to float32."""
+    rows = values[indices]
+    if scipy.sparse.issparse(rows):
+        rows = rows.toarray()
+    return np.ascontiguousarray(np.asarray(rows, np.float32))
+
+
+class BatchPipeline:
+    """Iterates device-ready batch dictionaries for one data subset.
+
+    ``arrays`` maps field name → row-indexable host array (CSR or ndarray).
+    Fields are sliced with the same shuffled indices so they stay aligned.
+    """
+
+    def __init__(
+        self,
+        arrays: dict[str, Any],
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_remainder: bool = False,
+        seed: int = 0,
+        sharding: Any = None,
+        prefetch: int = 2,
+    ):
+        if not arrays:
+            raise ValueError("arrays must be non-empty")
+        self.arrays = arrays
+        first = next(iter(arrays.values()))
+        self.n = first.shape[0]
+        for name, arr in arrays.items():
+            if arr.shape[0] != self.n:
+                raise ValueError(
+                    f"Field {name!r} has {arr.shape[0]} rows, expected {self.n}"
+                )
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.sharding = sharding
+        self.prefetch = max(int(prefetch), 0)
+        self._rng = np.random.RandomState(seed)
+
+    def batches_per_epoch(self) -> int:
+        if self.drop_remainder:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        if self.shuffle:
+            return self._rng.permutation(self.n)
+        return np.arange(self.n)
+
+    def _make_batch(self, idx: np.ndarray) -> dict[str, Any]:
+        batch = {
+            name: densify_rows(arr, idx) for name, arr in self.arrays.items()
+        }
+        if self.sharding is not None:
+            batch = {
+                k: jax.device_put(v, self.sharding) for k, v in batch.items()
+            }
+        else:
+            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        return batch
+
+    def epoch(self) -> Iterator[dict[str, Any]]:
+        """One pass over the data with prefetching."""
+        indices = self._epoch_indices()
+        n_batches = self.batches_per_epoch()
+        slices = [
+            indices[i * self.batch_size: (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        queue: collections.deque = collections.deque()
+        it = iter(slices)
+        # warm the prefetch queue
+        for _ in range(self.prefetch + 1):
+            try:
+                queue.append(self._make_batch(next(it)))
+            except StopIteration:
+                break
+        while queue:
+            out = queue.popleft()
+            try:
+                queue.append(self._make_batch(next(it)))
+            except StopIteration:
+                pass
+            yield out
+
+
+def build_model_arrays(
+    data_set,
+    *,
+    use_preprocessed: bool = True,
+    use_binarised: bool = False,
+    use_count_sum_as_parameter: bool = False,
+    use_count_sum_as_feature: bool = False,
+    include_batch_indices: bool = False,
+    noisy_preprocess=None,
+) -> dict[str, Any]:
+    """Assemble the field dictionary a model batch needs from a
+    :class:`~scvae_tpu.data.DataSet` — mirrors the feed-array selection in
+    the reference train loop (``variational_autoencoder.py:813-866``):
+    inputs ``x`` are the (noisily) preprocessed values, targets ``t`` are
+    binarised values when training a Bernoulli model else the preprocessed
+    values."""
+    if noisy_preprocess is not None:
+        values = noisy_preprocess(data_set.values.copy())
+        x = values
+        t = values
+    else:
+        x = (
+            data_set.preprocessed_values
+            if use_preprocessed and data_set.preprocessed_values is not None
+            else data_set.values
+        )
+        t = (
+            data_set.binarised_values
+            if use_binarised and data_set.binarised_values is not None
+            else x
+        )
+    arrays: dict[str, Any] = {"x": x, "t": t}
+    if use_count_sum_as_parameter:
+        arrays["count_sum"] = data_set.count_sum.astype(np.float32)
+    if use_count_sum_as_feature:
+        arrays["count_sum_feature"] = data_set.normalised_count_sum.astype(
+            np.float32
+        )
+    if include_batch_indices and data_set.batch_indices is not None:
+        arrays["batch_indices"] = data_set.batch_indices.astype(np.int32)
+    return arrays
