@@ -4,6 +4,7 @@ high-level training/evaluation API classes.
 TPU-native counterpart of ``scvae/models/``.
 """
 
+from scvae_tpu.models.api import VariationalAutoencoder
 from scvae_tpu.models.objectives import EarlyStopping, log_reduce_exp, warm_up_weight
 from scvae_tpu.models.step import (
     TrainState,
@@ -17,6 +18,7 @@ from scvae_tpu.models.vae import VAEConfig
 
 __all__ = [
     "EarlyStopping",
+    "VariationalAutoencoder",
     "TrainState",
     "VAEConfig",
     "create_train_state",

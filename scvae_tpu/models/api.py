@@ -1,0 +1,632 @@
+"""High-level model API: ``VariationalAutoencoder`` with the reference's
+``train`` / ``evaluate`` / ``sample`` surface.
+
+Counterpart of the class at ``scvae/models/variational_autoencoder.py:47``
+— but where the reference eagerly builds a TF1 graph in ``__init__``, this
+wraps the pure-functional core (:mod:`scvae_tpu.models.vae`), a jitted
+train step, the host batch pipeline, and the checkpoint/naming machinery.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scvae_tpu.data.dataset import DataSet
+from scvae_tpu.data.pipeline import BatchPipeline, build_model_arrays
+from scvae_tpu.data.processing import build_preprocessor
+from scvae_tpu.data.utilities import indices_for_evaluation_subset
+from scvae_tpu.defaults import get_default
+from scvae_tpu.models import checkpoints, naming, step, training, vae
+from scvae_tpu.models.utilities import (
+    parse_numbers_of_samples,
+    validate_model_parameters,
+)
+
+
+class VariationalAutoencoder:
+    """VAE with train/evaluate/sample (reference API parity)."""
+
+    type = "VAE"
+    early_stopping_rounds = training.EARLY_STOPPING_ROUNDS
+
+    def __init__(
+        self,
+        feature_size: int,
+        latent_size: int | None = None,
+        hidden_sizes=None,
+        reconstruction_distribution: str | None = None,
+        number_of_reconstruction_classes: int | None = None,
+        latent_distribution: str | None = None,
+        minibatch_normalisation: bool | None = None,
+        batch_correction: bool | None = None,
+        number_of_batches: int | None = None,
+        number_of_warm_up_epochs: int | None = None,
+        log_directory: str | None = None,
+        **kwargs: Any,
+    ):
+        if latent_size is None:
+            latent_size = get_default("models", "latent_size")
+        if hidden_sizes is None:
+            hidden_sizes = get_default("models", "hidden_sizes")
+        if reconstruction_distribution is None:
+            reconstruction_distribution = get_default(
+                "models", "reconstruction_distribution"
+            )
+        if number_of_reconstruction_classes is None:
+            number_of_reconstruction_classes = get_default(
+                "models", "number_of_reconstruction_classes"
+            )
+        if latent_distribution is None:
+            latent_distribution = get_default(
+                "models", "latent_distribution"
+            )[self.type]
+        if minibatch_normalisation is None:
+            minibatch_normalisation = get_default(
+                "models", "minibatch_normalisation"
+            )
+        if batch_correction is None:
+            batch_correction = get_default("models", "batch_correction")
+        if number_of_warm_up_epochs is None:
+            number_of_warm_up_epochs = get_default(
+                "models", "number_of_warm_up_epochs"
+            )
+        if log_directory is None:
+            log_directory = get_default("models", "directory")
+
+        number_of_samples = kwargs.get("number_of_monte_carlo_samples")
+        if number_of_samples is None:
+            number_of_samples = get_default("models", "number_of_samples")
+        self.number_of_monte_carlo_samples = parse_numbers_of_samples(
+            number_of_samples
+        )
+        number_of_iw = kwargs.get("number_of_importance_samples")
+        if number_of_iw is None:
+            number_of_iw = get_default("models", "number_of_samples")
+        self.number_of_importance_samples = parse_numbers_of_samples(
+            number_of_iw
+        )
+
+        self.config = vae.VAEConfig(
+            feature_size=feature_size,
+            latent_size=latent_size,
+            hidden_sizes=tuple(hidden_sizes),
+            reconstruction_distribution=reconstruction_distribution,
+            number_of_reconstruction_classes=number_of_reconstruction_classes,
+            latent_distribution=latent_distribution,
+            parameterise_latent_posterior=kwargs.get(
+                "parameterise_latent_posterior",
+                get_default("models", "parameterise_latent_posterior"),
+            ),
+            analytical_kl_term=kwargs.get("analytical_kl_term"),
+            inference_architecture=kwargs.get(
+                "inference_architecture",
+                get_default("models", "inference_architecture"),
+            ),
+            generative_architecture=kwargs.get(
+                "generative_architecture",
+                get_default("models", "generative_architecture"),
+            ),
+            minibatch_normalisation=minibatch_normalisation,
+            batch_correction=batch_correction,
+            number_of_batches=number_of_batches or 1,
+            count_sum=kwargs.get(
+                "count_sum", get_default("models", "count_sum")
+            ),
+            dropout_keep_probabilities=tuple(
+                kwargs.get(
+                    "dropout_keep_probabilities",
+                    get_default("models", "dropout_keep_probabilities"),
+                )
+                or ()
+            ),
+            number_of_warm_up_epochs=number_of_warm_up_epochs,
+            kl_weight=kwargs.get(
+                "kl_weight", get_default("models", "kl_weight")
+            ),
+            learning_rate=kwargs.get(
+                "learning_rate", get_default("models", "learning_rate")
+            ),
+        )
+
+        validate_model_parameters(
+            reconstruction_distribution=self.config.reconstruction_distribution,
+            number_of_reconstruction_classes=number_of_reconstruction_classes,
+            model_type=self.type,
+            latent_distribution=self.config.latent_distribution,
+            parameterise_latent_posterior=(
+                self.config.parameterise_latent_posterior
+            ),
+        )
+
+        self.feature_size = feature_size
+        self.latent_size = latent_size
+        self.hidden_sizes = tuple(hidden_sizes)
+        self.base_log_directory = log_directory
+        self.stopped_early = None
+        self._mesh_context = kwargs.get("mesh_context")
+
+    # -- identity ----------------------------------------------------------
+
+    @property
+    def reconstruction_distribution_name(self) -> str:
+        return self.config.reconstruction_distribution
+
+    @property
+    def latent_distribution_name(self) -> str:
+        return self.config.latent_distribution
+
+    @property
+    def number_of_latent_clusters(self) -> int:
+        return 1
+
+    @property
+    def dropout_parts(self) -> list[str]:
+        return [
+            str(p)
+            for p in self.config.dropout_keep_probabilities
+            if p and p != 1
+        ]
+
+    @property
+    def name(self) -> str:
+        return naming.model_name(
+            self.type,
+            latent_distribution=self.config.latent_distribution,
+            number_of_latent_clusters=self.number_of_latent_clusters,
+            parameterise_latent_posterior=(
+                self.config.parameterise_latent_posterior
+            ),
+            inference_architecture=self.config.inference_architecture,
+            generative_architecture=self.config.generative_architecture,
+            reconstruction_distribution=(
+                self.config.reconstruction_distribution
+            ),
+            k_max=self.config.k_max,
+            use_count_sum_as_feature=self.config.use_count_sum_as_feature,
+            latent_size=self.config.latent_size,
+            hidden_sizes=self.config.hidden_sizes,
+            number_of_monte_carlo_samples=(
+                self.number_of_monte_carlo_samples["training"]
+            ),
+            number_of_importance_samples=(
+                self.number_of_importance_samples["training"]
+            ),
+            analytical_kl_term=self.config.analytical_kl,
+            minibatch_normalisation=self.config.minibatch_normalisation,
+            batch_correction=self.config.batch_correction,
+            dropout_parts=self.dropout_parts,
+            kl_weight=self.config.kl_weight,
+            number_of_warm_up_epochs=self.config.number_of_warm_up_epochs,
+        )
+
+    def log_directory(
+        self,
+        base: str | None = None,
+        run_id: str | None = None,
+        early_stopping: bool = False,
+        best_model: bool = False,
+    ) -> str:
+        return naming.log_directory(
+            base or self.base_log_directory,
+            self.name,
+            run_id=run_id,
+            early_stopping=early_stopping,
+            best_model=best_model,
+        )
+
+    # -- status ------------------------------------------------------------
+
+    def has_been_trained(self, run_id: str | None = None) -> bool:
+        return checkpoints.checkpoint_exists(self.log_directory(run_id=run_id))
+
+    def better_model_exists(self, run_id: str | None = None) -> bool:
+        return checkpoints.checkpoint_exists(
+            self.log_directory(run_id=run_id, best_model=True)
+        )
+
+    def model_stopped_early(self, run_id: str | None = None) -> bool:
+        return checkpoints.checkpoint_exists(
+            self.log_directory(run_id=run_id, early_stopping=True)
+        )
+
+    def number_of_epochs_trained(self, run_id: str | None = None) -> int:
+        return training.resume_start_epoch(self.log_directory(run_id=run_id))
+
+    # -- internals ---------------------------------------------------------
+
+    def _init_state(self, rng: jax.Array) -> step.TrainState:
+        params, model_state = vae.init(self.config, rng)
+        optimizer = step.make_optimizer(self.config.learning_rate)
+        return step.create_train_state(params, model_state, optimizer)
+
+    def _loss_fn(self, n_iw: int, n_mc: int):
+        config = self.config
+
+        def loss(params, model_state, batch, rng, warm_up_weight):
+            return vae.loss_fn(
+                config,
+                params,
+                model_state,
+                batch,
+                rng,
+                n_iw=n_iw,
+                n_mc=n_mc,
+                warm_up_weight=warm_up_weight,
+            )
+
+        return loss
+
+    def _eval_fn(self, n_iw: int, n_mc: int):
+        config = self.config
+
+        def evaluate(params, model_state, batch, rng):
+            metrics, _ = vae.elbo_terms(
+                config,
+                params,
+                model_state,
+                batch,
+                rng,
+                training=False,
+                n_iw=n_iw,
+                n_mc=n_mc,
+            )
+            return metrics
+
+        return evaluate
+
+    def _model_arrays(self, data_set: DataSet, noisy_preprocess=None):
+        return build_model_arrays(
+            data_set,
+            use_binarised=(
+                self.config.reconstruction_distribution == "bernoulli"
+            ),
+            use_count_sum_as_parameter=self.config.use_count_sum_as_parameter,
+            use_count_sum_as_feature=self.config.use_count_sum_as_feature,
+            include_batch_indices=self.config.batch_correction,
+            noisy_preprocess=noisy_preprocess,
+        )
+
+    def _scaled_minibatch_size(self, minibatch_size: int, scenario: str) -> int:
+        """Keep the flattened sample×batch constant (reference :807-811)."""
+        scale = (
+            self.number_of_importance_samples[scenario]
+            * self.number_of_monte_carlo_samples[scenario]
+        )
+        return max(1, int(np.floor(minibatch_size / scale)))
+
+    # -- train -------------------------------------------------------------
+
+    def train(
+        self,
+        training_set: DataSet,
+        validation_set: DataSet | None = None,
+        number_of_epochs: int | None = None,
+        minibatch_size: int | None = None,
+        learning_rate: float | None = None,
+        run_id: str | None = None,
+        new_run: bool = False,
+        reset_training: bool = False,
+        full_train_evaluation: bool = True,
+        seed: int = 0,
+        verbose: bool = True,
+        epoch_callback=None,
+    ) -> training.TrainingResult:
+        if number_of_epochs is None:
+            number_of_epochs = get_default("models", "number_of_epochs")
+        if minibatch_size is None:
+            minibatch_size = get_default("models", "minibatch_size")
+        if learning_rate is None:
+            learning_rate = self.config.learning_rate
+        if new_run and not run_id:
+            run_id = naming.generate_run_id()
+        log_dir = self.log_directory(run_id=run_id)
+
+        if reset_training and os.path.exists(log_dir):
+            import shutil
+
+            shutil.rmtree(log_dir)
+
+        n_iw = self.number_of_importance_samples["training"]
+        n_mc = self.number_of_monte_carlo_samples["training"]
+        scaled_batch = self._scaled_minibatch_size(minibatch_size, "training")
+
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng = jax.random.split(rng)
+        train_state = self._init_state(init_rng)
+        optimizer = step.make_optimizer(learning_rate)
+        train_state = step.create_train_state(
+            train_state.params, train_state.model_state, optimizer
+        )
+
+        start_epoch = training.resume_start_epoch(log_dir)
+        if start_epoch:
+            train_state, _ = checkpoints.restore_checkpoint(
+                log_dir, train_state
+            )
+            checkpoints.truncate_learning_curves(log_dir, start_epoch)
+            if verbose:
+                print(f"Resuming training from epoch {start_epoch}.")
+
+        train_step = step.make_train_step(
+            self._loss_fn(n_iw, n_mc), optimizer, donate=False
+        )
+        eval_step = step.make_eval_step(self._eval_fn(n_iw, n_mc))
+
+        noisy = None
+        if training_set.noisy_preprocessing_methods:
+            noisy = build_preprocessor(
+                training_set.noisy_preprocessing_methods, noisy=True
+            )
+
+        def make_training_pipeline(epoch: int):
+            arrays = self._model_arrays(training_set, noisy_preprocess=noisy)
+            return BatchPipeline(
+                arrays,
+                scaled_batch,
+                shuffle=True,
+                seed=seed + epoch,
+            )
+
+        make_validation_pipeline = None
+        if validation_set is not None:
+            validation_arrays = self._model_arrays(validation_set)
+
+            def make_validation_pipeline():
+                return BatchPipeline(
+                    validation_arrays,
+                    scaled_batch,
+                    shuffle=False,
+                )
+
+        result = training.run_training_loop(
+            train_state=train_state,
+            train_step=train_step,
+            eval_step=eval_step,
+            make_training_pipeline=make_training_pipeline,
+            make_validation_pipeline=make_validation_pipeline,
+            number_of_epochs=number_of_epochs,
+            number_of_warm_up_epochs=self.config.number_of_warm_up_epochs,
+            rng=rng,
+            log_directory=log_dir,
+            early_stopping_rounds=self.early_stopping_rounds,
+            start_epoch=start_epoch,
+            full_train_evaluation=full_train_evaluation,
+            verbose=verbose,
+            epoch_callback=epoch_callback,
+        )
+        self.stopped_early = result.stopped_early
+        return result
+
+    # -- evaluate ----------------------------------------------------------
+
+    def _restore(
+        self,
+        run_id: str | None,
+        use_early_stopping_model: bool,
+        use_best_model: bool,
+        rng: jax.Array,
+    ) -> tuple[step.TrainState, str]:
+        directory = self.log_directory(
+            run_id=run_id,
+            early_stopping=use_early_stopping_model,
+            best_model=use_best_model,
+        )
+        if not checkpoints.checkpoint_exists(directory):
+            raise FileNotFoundError(
+                f"No checkpoint found in {directory}; train the model first."
+            )
+        template = self._init_state(rng)
+        train_state, _ = checkpoints.restore_checkpoint(directory, template)
+        return train_state, directory
+
+    def evaluate(
+        self,
+        evaluation_set: DataSet,
+        minibatch_size: int | None = None,
+        run_id: str | None = None,
+        use_early_stopping_model: bool = False,
+        use_best_model: bool = False,
+        output_versions: str | list[str] = "all",
+        evaluation_subset_indices=None,
+        seed: int = 0,
+        verbose: bool = True,
+    ):
+        """Batched evaluation; returns (transformed, reconstructed, latent)
+        ``DataSet`` objects per ``output_versions``
+        (reference ``variational_autoencoder.py:1781-2217``)."""
+        if minibatch_size is None:
+            minibatch_size = get_default("models", "minibatch_size")
+        if output_versions == "all":
+            output_versions = ["transformed", "reconstructed", "latent"]
+        elif isinstance(output_versions, str):
+            output_versions = [output_versions]
+
+        n_iw = self.number_of_importance_samples["evaluation"]
+        n_mc = self.number_of_monte_carlo_samples["evaluation"]
+        scaled_batch = self._scaled_minibatch_size(minibatch_size, "evaluation")
+
+        rng = jax.random.PRNGKey(seed)
+        rng, restore_rng = jax.random.split(rng)
+        train_state, _ = self._restore(
+            run_id, use_early_stopping_model, use_best_model, restore_rng
+        )
+
+        if evaluation_subset_indices is None:
+            evaluation_subset_indices = indices_for_evaluation_subset(
+                evaluation_set
+            )
+
+        config = self.config
+
+        @jax.jit
+        def eval_batch(params, model_state, batch, rng):
+            return vae.evaluation_outputs(
+                config, params, model_state, batch, rng, n_iw=n_iw, n_mc=n_mc
+            )
+
+        arrays = self._model_arrays(evaluation_set)
+        pipeline = BatchPipeline(
+            arrays, scaled_batch, shuffle=False, prefetch=2
+        )
+
+        n = evaluation_set.number_of_examples
+        f = config.feature_size
+        d = config.latent_size
+        p_x_mean = np.empty((n, f), np.float32)
+        p_x_stddev = np.empty((n, f), np.float32)
+        stddev_of_mean = np.empty((n, f), np.float32)
+        q_z_mean = np.empty((n, d), np.float32)
+        totals = {"lower_bound": 0.0, "reconstruction_error": 0.0,
+                  "kl_divergence": 0.0}
+
+        offset = 0
+        for batch in pipeline.epoch():
+            rng, sub = jax.random.split(rng)
+            out = eval_batch(
+                train_state.params, train_state.model_state, batch, sub
+            )
+            b = int(np.shape(batch["t"])[0])
+            p_x_mean[offset:offset + b] = np.asarray(out["p_x_mean"])
+            p_x_stddev[offset:offset + b] = np.asarray(out["p_x_stddev"])
+            stddev_of_mean[offset:offset + b] = np.asarray(
+                out["stddev_of_p_x_given_z_mean"]
+            )
+            q_z_mean[offset:offset + b] = np.asarray(out["q_z_mean"])
+            for k in totals:
+                totals[k] += float(out[k]) * b
+            offset += b
+
+        metrics = {k: v / max(n, 1) for k, v in totals.items()}
+        if verbose:
+            print(
+                "Evaluation: ELBO {lower_bound:.6g}  ENRE "
+                "{reconstruction_error:.6g}  KL {kl_divergence:.6g}".format(
+                    **metrics
+                )
+            )
+
+        output_sets: list[DataSet | None] = []
+        if "transformed" in output_versions:
+            output_sets.append(evaluation_set)
+        if "reconstructed" in output_versions:
+            reconstructed = DataSet(
+                evaluation_set.name,
+                title=evaluation_set.title,
+                specifications=evaluation_set.specifications,
+                values=p_x_mean,
+                total_standard_deviations=p_x_stddev,
+                explained_standard_deviations=stddev_of_mean,
+                labels=evaluation_set.labels,
+                example_names=evaluation_set.example_names,
+                feature_names=evaluation_set.feature_names,
+                batch_indices=evaluation_set.batch_indices,
+                kind=evaluation_set.kind,
+                version="reconstructed",
+                directory=evaluation_set.directory,
+            )
+            output_sets.append(reconstructed)
+        if "latent" in output_versions:
+            latent = DataSet(
+                evaluation_set.name,
+                title=evaluation_set.title,
+                specifications={},
+                values=q_z_mean,
+                labels=evaluation_set.labels,
+                example_names=evaluation_set.example_names,
+                feature_names=np.array(
+                    [f"latent variable {i + 1}" for i in range(d)]
+                ),
+                kind=evaluation_set.kind,
+                version="z",
+                directory=evaluation_set.directory,
+            )
+            output_sets.append(latent)
+
+        self._last_evaluation_metrics = metrics
+        if len(output_sets) == 1:
+            return output_sets[0]
+        return tuple(output_sets)
+
+    # -- sample ------------------------------------------------------------
+
+    def sample(
+        self,
+        sample_size: int | None = None,
+        minibatch_size: int | None = None,
+        run_id: str | None = None,
+        use_early_stopping_model: bool = False,
+        use_best_model: bool = False,
+        seed: int = 0,
+    ) -> DataSet:
+        """Ancestral sampling z ~ p(z) → E[x|z]
+        (reference ``variational_autoencoder.py:1601-1779``)."""
+        if self.config.use_count_sum_as_parameter or (
+            self.config.use_count_sum_as_feature
+            or self.config.batch_correction
+        ):
+            raise NotImplementedError(
+                "Sampling is not implemented with batch correction or count-"
+                "sum models (matches the reference restriction)."
+            )
+        if sample_size is None:
+            sample_size = get_default("models", "sample_size") or 100
+        if minibatch_size is None:
+            minibatch_size = get_default("models", "minibatch_size")
+
+        rng = jax.random.PRNGKey(seed)
+        rng, restore_rng = jax.random.split(rng)
+        train_state, _ = self._restore(
+            run_id, use_early_stopping_model, use_best_model, restore_rng
+        )
+
+        config = self.config
+        params = train_state.params
+        model_state = train_state.model_state
+
+        @jax.jit
+        def decode(z):
+            batch = {"x": z}  # unused by decoder path
+            dec_in = z[None]  # (1, B, D) sample axis
+            if config.generative_architecture == "MLP":
+                from scvae_tpu.models import networks
+
+                dec_h, _ = networks.apply_mlp(
+                    params["decoder"],
+                    model_state.get("decoder", {}),
+                    dec_in,
+                    training=False,
+                )
+            else:
+                dec_h = dec_in
+            p_x = vae._build_reconstruction(config, params, dec_h, batch)
+            return p_x.mean()[0]
+
+        rng, z_rng = jax.random.split(rng)
+        p_z = vae._build_prior(config, params)
+        z = p_z.sample(z_rng, (sample_size, config.latent_size))
+        z = jnp.reshape(z, (sample_size, config.latent_size))
+
+        means = []
+        for i in range(0, sample_size, minibatch_size):
+            means.append(np.asarray(decode(z[i:i + minibatch_size])))
+        values = np.concatenate(means, axis=0)
+
+        return DataSet(
+            "samples",
+            title="Model samples",
+            specifications={},
+            values=values,
+            example_names=np.array(
+                [f"sample {i + 1}" for i in range(sample_size)]
+            ),
+            feature_names=np.array(
+                [f"feature {j + 1}" for j in range(config.feature_size)]
+            ),
+            kind="sample",
+            version="original",
+        )

@@ -1,0 +1,149 @@
+"""Checkpointing: pytree ↔ NPZ with explicit step metadata, three named
+versions, and learning-curve persistence.
+
+Counterpart of the reference's TF1 ``Saver`` + directory-copy machinery
+(``scvae/models/variational_autoencoder.py:1443-1474``,
+``scvae/models/utilities.py:684-752``), redesigned per SURVEY.md §5.4:
+steps/epochs are explicit JSON metadata (not parsed from checkpoint
+filenames) and learning curves live in a JSON file per run (not TF event
+files).  Three versions per run: the main directory (end of training),
+``best/`` (max validation lower bound) and ``early_stopping/``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+import jax
+import numpy as np
+
+CHECKPOINT_FILE = "checkpoint.npz"
+METADATA_FILE = "checkpoint.json"
+LEARNING_CURVES_FILE = "learning_curves.json"
+
+
+def _flatten(tree: Any) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = jax.tree_util.keystr(path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(
+    directory: str,
+    tree: Any,
+    *,
+    epoch: int,
+    step: int | None = None,
+    extra_metadata: dict[str, Any] | None = None,
+) -> None:
+    """Atomically persist a pytree + metadata into ``directory``."""
+    os.makedirs(directory, exist_ok=True)
+    flat = _flatten(tree)
+    tmp = os.path.join(directory, CHECKPOINT_FILE + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, os.path.join(directory, CHECKPOINT_FILE))
+    metadata = {"epoch": int(epoch)}
+    if step is not None:
+        metadata["step"] = int(step)
+    if extra_metadata:
+        metadata.update(extra_metadata)
+    tmp = os.path.join(directory, METADATA_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(metadata, f, indent=2)
+    os.replace(tmp, os.path.join(directory, METADATA_FILE))
+
+
+def checkpoint_exists(directory: str) -> bool:
+    return os.path.exists(os.path.join(directory, CHECKPOINT_FILE))
+
+
+def load_metadata(directory: str) -> dict[str, Any]:
+    with open(os.path.join(directory, METADATA_FILE)) as f:
+        return json.load(f)
+
+
+def restore_checkpoint(directory: str, tree_like: Any) -> tuple[Any, dict]:
+    """Restore into the structure of ``tree_like`` (shapes must match)."""
+    with np.load(os.path.join(directory, CHECKPOINT_FILE)) as data:
+        flat = dict(data)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(tree_like)
+    leaves = []
+    for path, leaf in paths:
+        key = jax.tree_util.keystr(path)
+        if key not in flat:
+            raise KeyError(f"Checkpoint missing leaf {key}")
+        stored = flat[key]
+        if np.shape(stored) != np.shape(leaf):
+            raise ValueError(
+                f"Shape mismatch for {key}: checkpoint "
+                f"{np.shape(stored)} vs model {np.shape(leaf)}"
+            )
+        leaves.append(jax.numpy.asarray(stored, dtype=np.asarray(leaf).dtype))
+    metadata = load_metadata(directory)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(tree_like), leaves
+    ), metadata
+
+
+def copy_checkpoint_version(source_directory: str, target_directory: str) -> None:
+    """Snapshot the main checkpoint into a version subdirectory (replaces
+    the reference's ``copy_model_directory``)."""
+    os.makedirs(target_directory, exist_ok=True)
+    for filename in (CHECKPOINT_FILE, METADATA_FILE):
+        source = os.path.join(source_directory, filename)
+        if os.path.exists(source):
+            shutil.copyfile(source, os.path.join(target_directory, filename))
+
+
+def remove_checkpoint(directory: str) -> None:
+    for filename in (CHECKPOINT_FILE, METADATA_FILE):
+        path = os.path.join(directory, filename)
+        if os.path.exists(path):
+            os.remove(path)
+
+
+# --------------------------------------------------------------------------
+# Learning curves (JSON, replacing event-file re-parsing; SURVEY.md §1)
+# --------------------------------------------------------------------------
+
+
+def load_learning_curves(directory: str) -> dict[str, dict[str, list[float]]]:
+    path = os.path.join(directory, LEARNING_CURVES_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def append_learning_curves(
+    directory: str,
+    epoch_metrics: dict[str, dict[str, float]],
+) -> None:
+    """``epoch_metrics``: {"training": {"lower_bound": …}, "validation": …}."""
+    os.makedirs(directory, exist_ok=True)
+    curves = load_learning_curves(directory)
+    for kind, metrics in epoch_metrics.items():
+        kind_curves = curves.setdefault(kind, {})
+        for name, value in metrics.items():
+            kind_curves.setdefault(name, []).append(float(value))
+    tmp = os.path.join(directory, LEARNING_CURVES_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(curves, f)
+    os.replace(tmp, os.path.join(directory, LEARNING_CURVES_FILE))
+
+
+def truncate_learning_curves(directory: str, number_of_epochs: int) -> None:
+    """Keep only the first N epochs (used when resuming from epoch N)."""
+    curves = load_learning_curves(directory)
+    for kind_curves in curves.values():
+        for name in kind_curves:
+            kind_curves[name] = kind_curves[name][:number_of_epochs]
+    path = os.path.join(directory, LEARNING_CURVES_FILE)
+    with open(path, "w") as f:
+        json.dump(curves, f)

@@ -460,6 +460,66 @@ def elbo_terms(
     return metrics, outputs
 
 
+def evaluation_outputs(
+    config: VAEConfig,
+    params: Params,
+    state: State,
+    batch: Batch,
+    rng: jax.Array,
+    *,
+    n_iw: int = 1,
+    n_mc: int = 1,
+    deterministic_z: bool = False,
+) -> dict[str, jax.Array]:
+    """ELBO metrics + posterior-predictive reconstruction decomposition and
+    latent means for one batch (reference ``:2658-2713`` and the evaluate
+    accumulation at ``:1969-2049``).
+
+    Returns scalars (``lower_bound``/``reconstruction_error``/
+    ``kl_divergence``) plus arrays: ``p_x_mean`` (B, F), ``p_x_stddev``
+    (B, F), ``stddev_of_p_x_given_z_mean`` (B, F), ``q_z_mean`` (B, D) and
+    ``z`` (S, B, D).
+    """
+    metrics, outputs = elbo_terms(
+        config,
+        params,
+        state,
+        batch,
+        rng,
+        training=False,
+        n_iw=n_iw,
+        n_mc=n_mc,
+        deterministic_z=deterministic_z,
+    )
+    if deterministic_z:
+        n_iw = n_mc = 1
+    b = batch["t"].shape[0]
+    shape = (n_iw, n_mc, b, config.feature_size)
+    p_mean = jnp.reshape(outputs.p_x.mean(), shape)
+    p_var = jnp.reshape(outputs.p_x.variance(), shape)
+
+    # Ê[x] = mean over MC then IW samples (reference :2665-2669)
+    p_x_mean = jnp.mean(jnp.mean(p_mean, axis=1), axis=0)
+    # ^V[E[x|z]] (reference :2673-2686)
+    variance_of_p_x_given_z_mean = jnp.mean(
+        jnp.mean(jnp.square(p_mean - p_x_mean[None, None]), axis=1), axis=0
+    )
+    stddev_of_p_x_given_z_mean = jnp.sqrt(variance_of_p_x_given_z_mean)
+    # V[x] ≈ ^V[E[x|z]] + Ê[V[x|z]] (reference :2704-2710)
+    p_x_variance = variance_of_p_x_given_z_mean + jnp.mean(
+        jnp.mean(p_var, axis=1), axis=0
+    )
+
+    return {
+        **metrics,
+        "p_x_mean": p_x_mean,
+        "p_x_stddev": jnp.sqrt(p_x_variance),
+        "stddev_of_p_x_given_z_mean": stddev_of_p_x_given_z_mean,
+        "q_z_mean": outputs.q_z.mean(),
+        "z": outputs.z,
+    }
+
+
 def loss_fn(
     config: VAEConfig,
     params: Params,
