@@ -322,8 +322,13 @@ class DataSet:
             self.values = values
             count_sum = np.asarray(values.sum(axis=1)).reshape(-1, 1)
             self.count_sum = count_sum
-            max_count_sum = count_sum.max() if count_sum.size else 1.0
-            self.normalised_count_sum = count_sum / max(max_count_sum, 1e-12)
+            with np.errstate(invalid="ignore"):
+                max_count_sum = (
+                    float(np.nanmax(count_sum)) if count_sum.size else 1.0
+                )
+                if not np.isfinite(max_count_sum) or max_count_sum <= 0:
+                    max_count_sum = 1.0
+                self.normalised_count_sum = count_sum / max_count_sum
             n_examples, n_features = values.shape
             if example_names is not None:
                 example_names = np.asarray(example_names)

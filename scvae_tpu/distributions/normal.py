@@ -148,9 +148,14 @@ class MultivariateNormalTriL(Distribution):
 
     def log_prob(self, x):
         diff = x - self.loc
-        # Solve L y = diff  →  y = L^{-1} diff
+        # Solve L y = diff  →  y = L^{-1} diff.  triangular_solve requires
+        # identical batch ranks, so broadcast the scale explicitly.
+        m = self._dim()
+        batch = jnp.broadcast_shapes(diff.shape[:-1], self.scale_tril.shape[:-2])
+        scale = jnp.broadcast_to(self.scale_tril, batch + (m, m))
+        diff = jnp.broadcast_to(diff, batch + (m,))
         y = jax.scipy.linalg.solve_triangular(
-            self.scale_tril, diff[..., None], lower=True
+            scale, diff[..., None], lower=True
         )[..., 0]
         half_log_det = jnp.sum(
             jnp.log(jnp.abs(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1))),

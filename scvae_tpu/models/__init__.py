@@ -5,6 +5,8 @@ TPU-native counterpart of ``scvae/models/``.
 """
 
 from scvae_tpu.models.api import VariationalAutoencoder
+from scvae_tpu.models.gmvae import GMVAEConfig
+from scvae_tpu.models.gmvae_api import GaussianMixtureVariationalAutoencoder
 from scvae_tpu.models.objectives import EarlyStopping, log_reduce_exp, warm_up_weight
 from scvae_tpu.models.step import (
     TrainState,
@@ -18,6 +20,8 @@ from scvae_tpu.models.vae import VAEConfig
 
 __all__ = [
     "EarlyStopping",
+    "GMVAEConfig",
+    "GaussianMixtureVariationalAutoencoder",
     "VariationalAutoencoder",
     "TrainState",
     "VAEConfig",
