@@ -1,0 +1,185 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: single- vs multi-device
+gradient equivalence, mesh construction, model-axis TP (SURVEY.md §4 item 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scvae_tpu.models import create_train_state, make_optimizer, make_train_step
+from scvae_tpu.models import gmvae, vae
+from scvae_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    shard_batch,
+    shard_train_state,
+)
+
+
+def make_batch(np_rng, b=32, f=16):
+    x = np_rng.poisson(2.0, size=(b, f)).astype(np.float32)
+    cs = x.sum(axis=1, keepdims=True)
+    return {
+        "x": jnp.asarray(x),
+        "t": jnp.asarray(x),
+        "count_sum": jnp.asarray(cs),
+        "count_sum_feature": jnp.asarray(cs / max(cs.max(), 1.0)),
+    }
+
+
+def test_eight_cpu_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = create_mesh(model_parallelism=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(model_parallelism=3)
+
+
+def test_param_shardings_rules(rng):
+    config = vae.VAEConfig(
+        feature_size=16, latent_size=2, hidden_sizes=(8,),
+        reconstruction_distribution="negative binomial",
+        number_of_reconstruction_classes=3,
+        minibatch_normalisation=False,
+    )
+    params, _ = vae.init(config, rng)
+    mesh = create_mesh(model_parallelism=2)
+    shardings = param_shardings(params, mesh)
+    # reconstruction head kernels sharded on the gene axis
+    recon = shardings["reconstruction"]["p"]["kernel"]
+    assert recon.spec == jax.sharding.PartitionSpec(None, "model")
+    # encoder replicated
+    enc = shardings["encoder"]["layers"][0]["kernel"]
+    assert enc.spec == jax.sharding.PartitionSpec()
+
+
+class TestDataParallelEquivalence:
+    def _run(self, mesh, np_rng, steps=3):
+        config = vae.VAEConfig(
+            feature_size=16, latent_size=2, hidden_sizes=(8,),
+            reconstruction_distribution="poisson",
+            minibatch_normalisation=True,
+        )
+        rng = jax.random.PRNGKey(0)
+        params, state = vae.init(config, rng)
+        optimizer = make_optimizer(1e-2)
+        ts = create_train_state(params, state, optimizer)
+        if mesh is not None:
+            ts = shard_train_state(ts, mesh)
+
+        def loss(params, model_state, batch, rng, wuw):
+            return vae.loss_fn(
+                config, params, model_state, batch, rng, warm_up_weight=wuw
+            )
+
+        train_step = make_train_step(loss, optimizer, donate=False)
+        batch = make_batch(np_rng)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        metrics = None
+        for i in range(steps):
+            ts, metrics = train_step(ts, batch, jax.random.PRNGKey(100 + i), 1.0)
+        return ts, metrics
+
+    def test_sharded_matches_unsharded_metrics(self, np_rng):
+        ts_single, m_single = self._run(None, np.random.RandomState(7))
+        mesh = create_mesh()
+        ts_shard, m_shard = self._run(mesh, np.random.RandomState(7))
+        np.testing.assert_allclose(
+            float(m_single["lower_bound"]),
+            float(m_shard["lower_bound"]),
+            rtol=5e-4,
+        )
+
+    def test_sharded_gradients_match_unsharded(self, np_rng):
+        # Gradient equivalence without the Adam sign-amplification of
+        # reduction-order noise: one value_and_grad on both layouts.
+        config = vae.VAEConfig(
+            feature_size=16, latent_size=2, hidden_sizes=(8,),
+            reconstruction_distribution="poisson",
+            minibatch_normalisation=True,
+        )
+        rng = jax.random.PRNGKey(0)
+        params, state = vae.init(config, rng)
+        batch = make_batch(np.random.RandomState(7))
+
+        def loss(params, batch):
+            value, _ = vae.loss_fn(
+                config, params, state, batch, jax.random.PRNGKey(5),
+                warm_up_weight=1.0,
+            )
+            return value
+
+        grad_fn = jax.jit(jax.grad(loss))
+        g_single = grad_fn(params, batch)
+
+        mesh = create_mesh()
+        params_sharded = jax.tree_util.tree_map(
+            lambda leaf, s: jax.device_put(leaf, s),
+            params,
+            param_shardings(params, mesh),
+        )
+        g_sharded = grad_fn(params_sharded, shard_batch(batch, mesh))
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_single),
+            jax.tree_util.tree_leaves(g_sharded),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+
+    def test_model_axis_sharding_runs(self, np_rng):
+        config = vae.VAEConfig(
+            feature_size=16, latent_size=2, hidden_sizes=(8,),
+            reconstruction_distribution="negative binomial",
+            minibatch_normalisation=True,
+        )
+        mesh = create_mesh(model_parallelism=2)
+        rng = jax.random.PRNGKey(0)
+        params, state = vae.init(config, rng)
+        optimizer = make_optimizer(1e-3)
+        ts = shard_train_state(
+            create_train_state(params, state, optimizer), mesh
+        )
+
+        def loss(params, model_state, batch, rng, wuw):
+            return vae.loss_fn(
+                config, params, model_state, batch, rng, warm_up_weight=wuw
+            )
+
+        train_step = make_train_step(loss, optimizer, donate=False)
+        batch = shard_batch(make_batch(np_rng), mesh)
+        ts, metrics = train_step(ts, batch, jax.random.PRNGKey(1), 1.0)
+        assert np.isfinite(float(metrics["lower_bound"]))
+
+    def test_gmvae_sharded_step(self, np_rng):
+        config = gmvae.GMVAEConfig(
+            feature_size=16, latent_size=2, hidden_sizes=(8,),
+            reconstruction_distribution="negative binomial",
+            number_of_latent_clusters=3,
+            minibatch_normalisation=True,
+        )
+        mesh = create_mesh()
+        rng = jax.random.PRNGKey(0)
+        params, state = gmvae.init(config, rng)
+        optimizer = make_optimizer(1e-3)
+        ts = shard_train_state(
+            create_train_state(params, state, optimizer), mesh
+        )
+
+        def loss(params, model_state, batch, rng, wuw):
+            return gmvae.loss_fn(
+                config, params, model_state, batch, rng, warm_up_weight=wuw
+            )
+
+        train_step = make_train_step(loss, optimizer, donate=False)
+        batch = shard_batch(make_batch(np_rng), mesh)
+        ts, metrics = train_step(ts, batch, jax.random.PRNGKey(1), 1.0)
+        assert np.isfinite(float(metrics["lower_bound"]))
