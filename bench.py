@@ -1,0 +1,154 @@
+"""Benchmark: cells/sec/chip for VAE-NB training (BASELINE.json headline).
+
+Trains the flagship configuration (VAE, negative-binomial likelihood, KL
+warm-up) on a synthetic 10x-PBMC-68k-shaped count matrix (68k cells ×
+2048 selected genes — the reference applies variance feature selection
+before training, ``docs/guide.rst:205-211``) and reports steady-state
+training throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "cells/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by REFERENCE_BASELINE — an
+estimate of the reference TF1 implementation's training throughput on
+GPU-class hardware for this config (one ``session.run`` per feed_dict
+minibatch of 100, host-side densification per step; the reference
+publishes no numbers, so this constant anchors round-over-round
+comparison; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_CELLS_PER_SEC = 50_000.0
+
+N_CELLS = 68_579  # 10x-PBMC-68k size
+N_GENES = 2048
+LATENT = 100
+HIDDEN = (256, 256)
+BATCH = 1024
+WARMUP_STEPS = 5
+TIMED_STEPS = 60
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compilation cache: first-ever run pays the (remote)
+    # compile; subsequent bench runs start hot.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/scvae_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from scvae_tpu.models import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from scvae_tpu.models import vae
+
+    devices = jax.devices()
+    log(f"devices: {devices}")
+
+    config = vae.VAEConfig(
+        feature_size=N_GENES,
+        latent_size=LATENT,
+        hidden_sizes=HIDDEN,
+        reconstruction_distribution="negative binomial",
+        minibatch_normalisation=True,
+        number_of_warm_up_epochs=200,
+    )
+
+    # synthetic sparse-ish count data with PBMC-like sparsity (~93% zeros)
+    rng_np = np.random.RandomState(0)
+    log("generating synthetic counts…")
+    import scipy.sparse
+
+    density = 0.07
+    n_nonzero_per_row = max(1, int(N_GENES * density))
+    rows = np.repeat(np.arange(N_CELLS), n_nonzero_per_row)
+    cols = rng_np.randint(0, N_GENES, size=rows.shape[0])
+    vals = rng_np.poisson(3.0, size=rows.shape[0]).astype(np.float32) + 1.0
+    values = scipy.sparse.csr_matrix(
+        (vals, (rows, cols)), shape=(N_CELLS, N_GENES)
+    )
+
+    # Device-resident data + whole-epoch lax.scan: the dataset lives in
+    # HBM (counts as int16), so steady-state training has zero per-step
+    # host traffic — the host only ships one shuffled index array per
+    # epoch (scvae_tpu.models.step.make_train_epoch).
+    from scvae_tpu.data.pipeline import device_resident_data
+    from scvae_tpu.models.step import epoch_permutation, make_train_epoch
+
+    log("staging data in HBM…")
+    data = device_resident_data({"x": values, "t": values}, count_dtype=np.int16)
+    jax.block_until_ready(data["x"])
+
+    rng = jax.random.PRNGKey(0)
+    params, state = vae.init(config, rng)
+    optimizer = make_optimizer(1e-4)
+    train_state = create_train_state(params, state, optimizer)
+
+    def loss(params, model_state, batch, rng, warm_up_weight):
+        return vae.loss_fn(
+            config, params, model_state, batch, rng,
+            warm_up_weight=warm_up_weight,
+        )
+
+    train_epoch = make_train_epoch(loss, optimizer)
+    perm_rng = np.random.RandomState(1)
+    steps_per_epoch = N_CELLS // BATCH
+
+    log("compiling + warmup epoch…")
+    perm = epoch_permutation(N_CELLS, BATCH, perm_rng)
+    train_state, metrics = train_epoch(
+        train_state, data, perm, jax.random.PRNGKey(2), 1.0
+    )
+    # NOTE: a host fetch (float()) is the reliable sync point on the
+    # tunnelled TPU platform; block_until_ready alone returns early there.
+    float(metrics["lower_bound"])
+
+    log("timing…")
+    n_epochs = 5
+    start = time.perf_counter()
+    total_steps = 0
+    for e in range(n_epochs):
+        perm = epoch_permutation(N_CELLS, BATCH, perm_rng)
+        train_state, metrics = train_epoch(
+            train_state, data, perm, jax.random.PRNGKey(3 + e), 1.0
+        )
+        total_steps += steps_per_epoch
+    float(metrics["lower_bound"])
+    elapsed = time.perf_counter() - start
+
+    cells_per_sec = total_steps * BATCH / elapsed
+    log(
+        f"elapsed {elapsed:.3f}s for {total_steps} steps of {BATCH} cells "
+        f"({1000 * elapsed / total_steps:.2f} ms/step); "
+        f"epoch-mean lower bound {float(metrics['lower_bound']):.2f}"
+    )
+
+    result = {
+        "metric": "cells/sec/chip, VAE-NB training, 68k cells x 2048 genes",
+        "value": round(cells_per_sec, 1),
+        "unit": "cells/sec/chip",
+        "vs_baseline": round(
+            cells_per_sec / REFERENCE_BASELINE_CELLS_PER_SEC, 3
+        ),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,51 @@ class BatchPipeline:
             yield out
 
 
+def device_resident_data(
+    arrays: dict[str, Any],
+    *,
+    count_dtype=None,
+    sharding: Any = None,
+) -> dict[str, Any]:
+    """Densify a whole data subset and place it in device memory once.
+
+    The fast path for datasets that fit in HBM: pairs with
+    :func:`scvae_tpu.models.step.make_train_epoch`, which scans over
+    row-index batches gathered on device — eliminating the per-step
+    host→HBM transfer entirely.  ``count_dtype`` (e.g. ``np.int16``)
+    stores count matrices compactly; they are cast back to f32 per batch
+    on device.  Duplicate fields referencing the same host array (x and t
+    are usually the same matrix) are transferred once and aliased.
+    """
+    import jax
+
+    placed_by_id: dict[int, Any] = {}
+    out: dict[str, Any] = {}
+    for name, arr in arrays.items():
+        key = id(arr)
+        if key in placed_by_id:
+            out[name] = placed_by_id[key]
+            continue
+        dense = arr
+        if scipy.sparse.issparse(dense):
+            dense = dense.toarray()
+        dense = np.asarray(dense)
+        if count_dtype is not None and name in ("x", "t"):
+            if np.issubdtype(dense.dtype, np.floating) and np.all(
+                dense == np.round(dense)
+            ):
+                info = np.iinfo(count_dtype)
+                if dense.min() >= info.min and dense.max() <= info.max:
+                    dense = dense.astype(count_dtype)
+        if sharding is not None:
+            placed = jax.device_put(dense, sharding)
+        else:
+            placed = jax.device_put(dense)
+        placed_by_id[key] = placed
+        out[name] = placed
+    return out
+
+
 def build_model_arrays(
     data_set,
     *,

@@ -301,6 +301,65 @@ class VariationalAutoencoder:
 
     # -- train -------------------------------------------------------------
 
+    # Datasets whose dense form fits under this budget are staged in device
+    # memory once and trained with the whole-epoch scan fast path.
+    DEVICE_DATA_BUDGET_BYTES = 4 << 30
+
+    def _choose_device_placement(
+        self, training_set: DataSet, data_placement: str
+    ) -> bool:
+        if data_placement == "device":
+            return True
+        if data_placement == "streaming":
+            return False
+        if data_placement != "auto":
+            raise ValueError(
+                "data_placement must be auto, device, or streaming"
+            )
+        n = training_set.number_of_examples or 0
+        f = training_set.number_of_features or 0
+        return n * f * 4 <= self.DEVICE_DATA_BUDGET_BYTES
+
+    def _device_evaluator(
+        self, eval_epoch, eval_step, data, n: int, batch_size: int
+    ):
+        """Scan-based full-pass evaluation with a remainder batch."""
+        import jax.numpy as jnp
+
+        idx = step.sequential_batches(n, batch_size)
+        n_full = int(idx.size)
+        scalar_keys = ("lower_bound", "reconstruction_error", "kl_divergence")
+
+        def evaluate(train_state, rng):
+            if n_full:
+                out = eval_epoch(
+                    train_state.params, train_state.model_state, data, idx, rng
+                )
+                out = {k: float(v) for k, v in out.items()}
+            else:
+                out = {k: 0.0 for k in scalar_keys}
+            remainder = n - n_full
+            if remainder:
+                batch = {
+                    k: (
+                        v[n_full:].astype(jnp.float32)
+                        if jnp.issubdtype(v.dtype, jnp.integer)
+                        else v[n_full:]
+                    )
+                    for k, v in data.items()
+                }
+                rng, sub = jax.random.split(rng)
+                m2 = eval_step(
+                    train_state.params, train_state.model_state, batch, sub
+                )
+                out = {
+                    k: (out[k] * n_full + float(m2[k]) * remainder) / n
+                    for k in scalar_keys
+                }
+            return out
+
+        return evaluate
+
     def train(
         self,
         training_set: DataSet,
@@ -312,6 +371,7 @@ class VariationalAutoencoder:
         new_run: bool = False,
         reset_training: bool = False,
         full_train_evaluation: bool = True,
+        data_placement: str = "auto",
         seed: int = 0,
         verbose: bool = True,
         epoch_callback=None,
@@ -352,9 +412,7 @@ class VariationalAutoencoder:
             if verbose:
                 print(f"Resuming training from epoch {start_epoch}.")
 
-        train_step = step.make_train_step(
-            self._loss_fn(n_iw, n_mc), optimizer, donate=False
-        )
+        loss_fn = self._loss_fn(n_iw, n_mc)
         eval_step = step.make_eval_step(self._eval_fn(n_iw, n_mc))
 
         noisy = None
@@ -363,39 +421,90 @@ class VariationalAutoencoder:
                 training_set.noisy_preprocessing_methods, noisy=True
             )
 
-        def make_training_pipeline(epoch: int):
-            arrays = self._model_arrays(training_set, noisy_preprocess=noisy)
-            return BatchPipeline(
-                arrays,
-                scaled_batch,
-                shuffle=True,
-                seed=seed + epoch,
+        use_device_data = noisy is None and self._choose_device_placement(
+            training_set, data_placement
+        )
+
+        if use_device_data:
+            from scvae_tpu.data.pipeline import device_resident_data
+
+            train_epoch = step.make_train_epoch(loss_fn, optimizer)
+            eval_epoch = step.make_eval_epoch(self._eval_fn(n_iw, n_mc))
+            n_train = training_set.number_of_examples
+            train_data = device_resident_data(
+                self._model_arrays(training_set), count_dtype=np.int32
             )
-
-        make_validation_pipeline = None
-        if validation_set is not None:
-            validation_arrays = self._model_arrays(validation_set)
-
-            def make_validation_pipeline():
-                return BatchPipeline(
-                    validation_arrays,
-                    scaled_batch,
-                    shuffle=False,
+            run_epoch = training.device_epoch_runner(
+                train_epoch, train_data, n_train, scaled_batch, seed
+            )
+            evaluate_training = (
+                self._device_evaluator(
+                    eval_epoch, eval_step, train_data, n_train, scaled_batch
                 )
+                if full_train_evaluation
+                else None
+            )
+            evaluate_validation = None
+            if validation_set is not None:
+                validation_data = device_resident_data(
+                    self._model_arrays(validation_set), count_dtype=np.int32
+                )
+                evaluate_validation = self._device_evaluator(
+                    eval_epoch,
+                    eval_step,
+                    validation_data,
+                    validation_set.number_of_examples,
+                    scaled_batch,
+                )
+        else:
+            train_step = step.make_train_step(loss_fn, optimizer, donate=False)
+
+            def make_training_pipeline(epoch: int):
+                arrays = self._model_arrays(
+                    training_set, noisy_preprocess=noisy
+                )
+                return BatchPipeline(
+                    arrays, scaled_batch, shuffle=True, seed=seed + epoch
+                )
+
+            run_epoch = training.streaming_epoch_runner(
+                train_step, make_training_pipeline
+            )
+            evaluate_training = None
+            if full_train_evaluation:
+                def evaluate_training(train_state, rng):
+                    return training.evaluate_on_pipeline(
+                        eval_step,
+                        train_state,
+                        make_training_pipeline(0),
+                        rng,
+                    )
+
+            evaluate_validation = None
+            if validation_set is not None:
+                validation_arrays = self._model_arrays(validation_set)
+
+                def evaluate_validation(train_state, rng):
+                    return training.evaluate_on_pipeline(
+                        eval_step,
+                        train_state,
+                        BatchPipeline(
+                            validation_arrays, scaled_batch, shuffle=False
+                        ),
+                        rng,
+                    )
 
         result = training.run_training_loop(
             train_state=train_state,
-            train_step=train_step,
-            eval_step=eval_step,
-            make_training_pipeline=make_training_pipeline,
-            make_validation_pipeline=make_validation_pipeline,
+            run_epoch=run_epoch,
+            evaluate_training=evaluate_training,
+            evaluate_validation=evaluate_validation,
             number_of_epochs=number_of_epochs,
             number_of_warm_up_epochs=self.config.number_of_warm_up_epochs,
             rng=rng,
             log_directory=log_dir,
             early_stopping_rounds=self.early_stopping_rounds,
             start_epoch=start_epoch,
-            full_train_evaluation=full_train_evaluation,
             verbose=verbose,
             epoch_callback=epoch_callback,
         )

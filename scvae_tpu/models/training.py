@@ -1,12 +1,20 @@
-"""Training harness: the epoch loop around the jitted train step.
+"""Training harness: the epoch loop around pluggable per-epoch runners.
 
 Counterpart of the reference's 1000-line ``train`` methods
 (``scvae/models/variational_autoencoder.py:640-1599``): epoch loop with
-linear KL warm-up, shuffled minibatches from the host pipeline, NaN aborts,
-per-epoch train/validation evaluation, early stopping (rounds=10) with an
-``early_stopping/`` snapshot of the epoch before degradation, per-epoch
-checkpointing with a ``best/`` copy on validation improvement, learning-
-curve persistence, and checkpoint resume with explicit epoch metadata.
+linear KL warm-up, NaN aborts, per-epoch train/validation evaluation,
+early stopping (rounds=10) with an ``early_stopping/`` snapshot of the
+epoch before degradation, per-epoch checkpointing with a ``best/`` copy on
+validation improvement, learning-curve persistence, and checkpoint resume
+with explicit epoch metadata.
+
+The actual minibatch work is behind two callables so the same loop drives
+both data paths:
+
+* streaming — host CSR slices densified+transferred per step
+  (:class:`scvae_tpu.data.pipeline.BatchPipeline`);
+* device-resident — whole dataset in HBM, one ``lax.scan`` per epoch
+  (:func:`scvae_tpu.models.step.make_train_epoch`), the TPU fast path.
 """
 
 from __future__ import annotations
@@ -25,6 +33,11 @@ from scvae_tpu.models.step import TrainState, tree_finite
 from scvae_tpu.utils.strings import format_duration
 
 EARLY_STOPPING_ROUNDS = 10  # reference variational_autoencoder.py:278
+
+# (train_state, epoch, warm_up_weight, rng) → (train_state, metrics)
+EpochRunner = Callable[[TrainState, int, float, jax.Array], tuple[TrainState, dict]]
+# (train_state, rng) → metrics
+Evaluator = Callable[[TrainState, jax.Array], dict[str, float]]
 
 
 @dataclasses.dataclass
@@ -64,29 +77,58 @@ def evaluate_on_pipeline(
     return {k: v / n_total for k, v in totals.items()}
 
 
+def streaming_epoch_runner(
+    train_step: Callable, make_training_pipeline: Callable[[int], Any]
+) -> EpochRunner:
+    """Per-step host feeding (the reference's feed_dict pattern)."""
+
+    def run_epoch(train_state, epoch, wuw, rng):
+        pipeline = make_training_pipeline(epoch)
+        bounds = []
+        for batch in pipeline.epoch():
+            rng, sub = jax.random.split(rng)
+            train_state, metrics = train_step(train_state, batch, sub, wuw)
+            bounds.append(float(metrics["lower_bound"]))
+        return train_state, {"lower_bound": float(np.mean(bounds))}
+
+    return run_epoch
+
+
+def device_epoch_runner(
+    train_epoch: Callable,
+    data: dict[str, Any],
+    n_examples: int,
+    batch_size: int,
+    seed: int,
+) -> EpochRunner:
+    """Whole-epoch lax.scan over device-resident data."""
+    from scvae_tpu.models.step import epoch_permutation
+
+    def run_epoch(train_state, epoch, wuw, rng):
+        perm_rng = np.random.RandomState(seed + epoch)
+        perm = epoch_permutation(n_examples, batch_size, perm_rng)
+        train_state, metrics = train_epoch(train_state, data, perm, rng, wuw)
+        return train_state, {"lower_bound": float(metrics["lower_bound"])}
+
+    return run_epoch
+
+
 def run_training_loop(
     *,
     train_state: TrainState,
-    train_step: Callable,
-    eval_step: Callable,
-    make_training_pipeline: Callable[[int], Any],
-    make_validation_pipeline: Callable[[], Any] | None,
+    run_epoch: EpochRunner,
+    evaluate_training: Evaluator | None,
+    evaluate_validation: Evaluator | None,
     number_of_epochs: int,
     number_of_warm_up_epochs: int = 0,
     rng: jax.Array,
     log_directory: str | None = None,
     early_stopping_rounds: int = EARLY_STOPPING_ROUNDS,
     start_epoch: int = 0,
-    full_train_evaluation: bool = True,
     verbose: bool = True,
     epoch_callback: Callable[[int, TrainState, dict], None] | None = None,
 ) -> TrainingResult:
-    """Run epochs ``start_epoch → number_of_epochs``.
-
-    ``make_training_pipeline(epoch)`` returns a fresh batch pipeline per
-    epoch (this is where per-epoch noisy re-preprocessing happens, as in
-    ``variational_autoencoder.py:960-975``).
-    """
+    """Run epochs ``start_epoch → number_of_epochs`` (see module docstring)."""
     early = EarlyStopping(rounds=early_stopping_rounds)
     history: dict[str, dict[str, list[float]]] = {}
 
@@ -105,47 +147,30 @@ def run_training_loop(
         epoch_start = time.time()
         wuw = warm_up_weight(epoch, number_of_warm_up_epochs)
 
-        pipeline = make_training_pipeline(epoch)
-        batch_metrics: list[dict[str, float]] = []
-        for batch in pipeline.epoch():
-            rng, sub = jax.random.split(rng)
-            train_state, metrics = train_step(train_state, batch, sub, wuw)
-            batch_metrics.append(
-                {
-                    "lower_bound": float(metrics["lower_bound"]),
-                    "loss": float(metrics["loss"]),
-                }
-            )
-
-        mean_train_bound = float(
-            np.mean([m["lower_bound"] for m in batch_metrics])
+        rng, epoch_rng = jax.random.split(rng)
+        train_state, train_metrics = run_epoch(
+            train_state, epoch, wuw, epoch_rng
         )
-        if not np.isfinite(mean_train_bound):
+
+        if not np.isfinite(train_metrics["lower_bound"]):
             raise ArithmeticError(
-                f"The lower bound for the last batch became NaN/inf at "
-                f"epoch {epoch + 1}."
+                f"The lower bound became NaN/inf at epoch {epoch + 1}."
             )
 
         epoch_metrics: dict[str, dict[str, float]] = {}
-
-        if full_train_evaluation:
+        if evaluate_training is not None:
             rng, sub = jax.random.split(rng)
-            epoch_metrics["training"] = evaluate_on_pipeline(
-                eval_step, train_state, make_training_pipeline(epoch), sub
-            )
+            epoch_metrics["training"] = evaluate_training(train_state, sub)
         else:
-            epoch_metrics["training"] = {"lower_bound": mean_train_bound}
-
-        if make_validation_pipeline is not None:
+            epoch_metrics["training"] = train_metrics
+        if evaluate_validation is not None:
             rng, sub = jax.random.split(rng)
-            epoch_metrics["validation"] = evaluate_on_pipeline(
-                eval_step, train_state, make_validation_pipeline(), sub
-            )
+            epoch_metrics["validation"] = evaluate_validation(train_state, sub)
 
         for kind, metrics in epoch_metrics.items():
             kind_history = history.setdefault(kind, {})
             for name, value in metrics.items():
-                kind_history.setdefault(name, []).append(value)
+                kind_history.setdefault(name, []).append(float(value))
 
         if log_directory:
             checkpoints.append_learning_curves(log_directory, epoch_metrics)

@@ -1,0 +1,172 @@
+"""Device-resident data path: epoch scan, eval scan, and equivalence with
+the streaming path."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse
+
+from scvae_tpu.data import DataSet
+from scvae_tpu.data.pipeline import device_resident_data
+from scvae_tpu.data.sparse import SparseRowMatrix
+from scvae_tpu.models import (
+    VariationalAutoencoder,
+    create_train_state,
+    make_optimizer,
+)
+from scvae_tpu.models import vae
+from scvae_tpu.models.step import (
+    epoch_permutation,
+    make_eval_epoch,
+    make_train_epoch,
+    sequential_batches,
+)
+
+
+def _sparse_counts(n=200, f=12, seed=0):
+    rng = np.random.RandomState(seed)
+    return SparseRowMatrix(
+        scipy.sparse.csr_matrix(rng.poisson(2, (n, f)).astype(np.float32))
+    )
+
+
+def test_device_resident_data_aliases_duplicates():
+    m = _sparse_counts()
+    data = device_resident_data({"x": m, "t": m}, count_dtype=np.int16)
+    assert data["x"] is data["t"]
+    assert data["x"].dtype == np.int16
+
+
+def test_device_resident_data_keeps_noninteger_float():
+    dense = np.random.RandomState(0).rand(10, 4).astype(np.float32)
+    data = device_resident_data({"x": dense}, count_dtype=np.int16)
+    assert data["x"].dtype == np.float32
+
+
+def test_epoch_permutation_and_sequential_batches():
+    perm = epoch_permutation(103, 10, np.random.RandomState(0))
+    assert perm.shape == (10, 10)
+    assert len(np.unique(perm)) == 100
+    seq = sequential_batches(103, 10)
+    np.testing.assert_array_equal(seq.reshape(-1), np.arange(100))
+
+
+def test_train_epoch_matches_streaming_step(rng):
+    """One scan epoch == the same steps taken one by one.
+
+    Batch norm is off here: with center=True BN the pre-BN bias is
+    mathematically gradient-free, so its Adam updates amplify pure float
+    noise and scan-vs-eager cannot be compared leaf-for-leaf.
+    """
+    config = vae.VAEConfig(
+        feature_size=12, latent_size=2, hidden_sizes=(8,),
+        reconstruction_distribution="poisson",
+        minibatch_normalisation=False,
+    )
+    params, state = vae.init(config, rng)
+    optimizer = make_optimizer(1e-3)
+
+    def loss(p, s, b, r, w):
+        return vae.loss_fn(config, p, s, b, r, warm_up_weight=w)
+
+    m = _sparse_counts()
+    data = device_resident_data({"x": m, "t": m})
+    perm = epoch_permutation(200, 50, np.random.RandomState(3))
+
+    epoch_rng = jax.random.PRNGKey(9)
+
+    # manual replication of the scan's rng splitting + steps (run FIRST —
+    # the jitted epoch donates its train state, deleting shared buffers)
+    import jax.numpy as jnp
+    import optax
+
+    ts_manual = create_train_state(params, state, optimizer)
+    carry_rng = epoch_rng
+    bounds = []
+    for i in range(perm.shape[0]):
+        carry_rng, sub = jax.random.split(carry_rng)
+        batch = {
+            k: jnp.take(v, jnp.asarray(perm[i]), axis=0)
+            for k, v in data.items()
+        }
+        (l, (mets, new_state)), grads = jax.value_and_grad(
+            loss, has_aux=True
+        )(ts_manual.params, ts_manual.model_state, batch, sub, 1.0)
+        updates, new_opt = optimizer.update(
+            grads, ts_manual.opt_state, ts_manual.params
+        )
+        from scvae_tpu.models.step import TrainState
+
+        ts_manual = TrainState(
+            params=optax.apply_updates(ts_manual.params, updates),
+            model_state=new_state,
+            opt_state=new_opt,
+            step=ts_manual.step + 1,
+        )
+        bounds.append(float(mets["lower_bound"]))
+
+    # scan path
+    ts_scan = create_train_state(params, state, optimizer)
+    train_epoch = make_train_epoch(loss, optimizer, jit=True)
+    ts_scan, metrics = train_epoch(ts_scan, data, perm, epoch_rng, 1.0)
+
+    np.testing.assert_allclose(
+        float(metrics["lower_bound"]), np.mean(bounds), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts_scan.params),
+        jax.tree_util.tree_leaves(ts_manual.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_eval_epoch_matches_direct(rng):
+    config = vae.VAEConfig(
+        feature_size=12, latent_size=2, hidden_sizes=(8,),
+        reconstruction_distribution="poisson",
+        minibatch_normalisation=False,
+    )
+    params, state = vae.init(config, rng)
+
+    def eval_fn(p, s, b, r):
+        metrics, _ = vae.elbo_terms(config, p, s, b, r, training=False)
+        return metrics
+
+    m = _sparse_counts(n=100)
+    data = device_resident_data({"x": m, "t": m})
+    idx = sequential_batches(100, 25)
+    eval_epoch = make_eval_epoch(eval_fn)
+    out = eval_epoch(params, state, data, idx, jax.random.PRNGKey(0))
+    assert np.isfinite(float(out["lower_bound"]))
+    assert set(out) == {"lower_bound", "reconstruction_error", "kl_divergence"}
+
+
+def test_api_device_vs_streaming_training(tmp_path):
+    ds = DataSet(
+        "development", directory=str(tmp_path / "d"),
+        example_filter=["random", 400],
+    )
+    train_set, valid_set, _ = ds.split(method="random", fraction=0.9)
+
+    def run(placement, subdir):
+        model = VariationalAutoencoder(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="poisson",
+            log_directory=str(tmp_path / subdir),
+        )
+        result = model.train(
+            train_set, valid_set, number_of_epochs=2, minibatch_size=64,
+            data_placement=placement, verbose=False,
+        )
+        return result.history["validation"]["lower_bound"]
+
+    lb_stream = run("streaming", "m1")
+    lb_device = run("device", "m2")
+    # Different RNG consumption patterns → different trajectories on the
+    # steep early curve; both must improve and land in the same ballpark.
+    assert len(lb_stream) == len(lb_device) == 2
+    assert lb_stream[-1] > lb_stream[0]
+    assert lb_device[-1] > lb_device[0]
+    assert abs(lb_stream[-1] - lb_device[-1]) / abs(lb_stream[-1]) < 0.3
