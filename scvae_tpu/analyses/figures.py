@@ -1,0 +1,433 @@
+"""Figures: learning curves, latent scatters with centroid ellipses,
+histograms, heat maps, profile comparisons, and image sprite sheets.
+
+Compact counterpart of ``scvae/analyses/figures/`` (7 files, ≈2.2k LoC)
+covering the same figure families with matplotlib/seaborn on the Agg
+backend.  Every function returns the saved path.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.patches  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import scipy.sparse  # noqa: E402
+import seaborn  # noqa: E402
+
+from scvae_tpu.utils.strings import normalise_string  # noqa: E402
+
+FIGURE_DPI = 150
+PUBLICATION_DPI = 350
+
+seaborn.set(style="ticks", context="notebook")
+
+
+def _save(figure, name: str, directory: str, *, for_publication: bool = False) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, normalise_string(name) + ".png")
+    figure.savefig(
+        path,
+        dpi=PUBLICATION_DPI if for_publication else FIGURE_DPI,
+        bbox_inches="tight",
+    )
+    plt.close(figure)
+    return path
+
+
+def _densify(values):
+    if scipy.sparse.issparse(values):
+        return np.asarray(values.todense())
+    return np.asarray(values)
+
+
+def _class_palette(class_names: Sequence) -> dict:
+    colours = seaborn.color_palette("husl", len(class_names))
+    return dict(zip(class_names, colours))
+
+
+# --------------------------------------------------------------------------
+# Learning curves (reference figures/learning_curves.py:31-485)
+# --------------------------------------------------------------------------
+
+
+def plot_learning_curves(
+    curves: dict[str, dict[str, list[float]]],
+    model_type: str = "VAE",
+    name: str = "learning_curves",
+    directory: str = ".",
+) -> str:
+    """Loss curves per subset: ELBO, reconstruction error, KL terms."""
+    metric_names = sorted(
+        {m for kind in curves.values() for m in kind.keys()}
+    )
+    # Plot the headline metrics, one panel per metric.
+    panels = [
+        m
+        for m in (
+            "lower_bound",
+            "reconstruction_error",
+            "kl_divergence",
+            "kl_divergence_z",
+            "kl_divergence_y",
+            "accuracy",
+        )
+        if m in metric_names
+    ] or metric_names
+    fig, axes = plt.subplots(
+        len(panels), 1, figsize=(7, 2.6 * len(panels)), squeeze=False,
+        sharex=True,
+    )
+    for ax, metric in zip(axes[:, 0], panels):
+        for kind, kind_curves in curves.items():
+            if metric in kind_curves:
+                values = kind_curves[metric]
+                ax.plot(
+                    np.arange(1, len(values) + 1), values, label=kind
+                )
+        ax.set_ylabel(metric.replace("_", " "))
+        ax.legend(frameon=False, fontsize="small")
+    axes[-1, 0].set_xlabel("epoch")
+    fig.suptitle(f"{model_type} learning curves")
+    return _save(fig, name, directory)
+
+
+def plot_kl_divergence_evolution(
+    kl_neurons: np.ndarray,
+    name: str = "kl_divergence_evolution",
+    directory: str = ".",
+) -> str:
+    """Heat map of per-latent-dimension KL over epochs (sorted by final
+    KL, log scale; reference ``learning_curves.py`` KL-neuron panel)."""
+    kl_neurons = np.asarray(kl_neurons)  # (E, D)
+    order = np.argsort(kl_neurons[-1])[::-1]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    with np.errstate(divide="ignore"):
+        log_kl = np.log10(np.maximum(kl_neurons[:, order], 1e-12))
+    image = ax.imshow(
+        log_kl.T, aspect="auto", origin="lower", cmap="viridis"
+    )
+    fig.colorbar(image, ax=ax, label="log10 KL")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("latent dimension (sorted)")
+    return _save(fig, name, directory)
+
+
+def plot_accuracy_evolution(
+    accuracies: dict[str, list[float]],
+    name: str = "accuracy_evolution",
+    directory: str = ".",
+) -> str:
+    fig, ax = plt.subplots(figsize=(7, 3))
+    for kind, values in accuracies.items():
+        ax.plot(np.arange(1, len(values) + 1), values, label=kind)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("accuracy")
+    ax.legend(frameon=False)
+    return _save(fig, name, directory)
+
+
+def plot_centroid_probabilities_evolution(
+    probabilities: np.ndarray,
+    name: str = "centroid_probabilities_evolution",
+    directory: str = ".",
+) -> str:
+    """(E, K) mixture-probability evolution."""
+    probabilities = np.asarray(probabilities)
+    fig, ax = plt.subplots(figsize=(7, 3))
+    for k in range(probabilities.shape[1]):
+        ax.plot(
+            np.arange(1, probabilities.shape[0] + 1),
+            probabilities[:, k],
+            label=f"cluster {k + 1}",
+        )
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("probability")
+    ax.legend(frameon=False, fontsize="x-small", ncol=2)
+    return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Latent scatter (reference figures/scatter.py:29-476)
+# --------------------------------------------------------------------------
+
+
+def _covariance_ellipse(mean, covariance, colour, ax, n_std=2.0):
+    eigenvalues, eigenvectors = np.linalg.eigh(covariance)
+    angle = float(
+        np.degrees(np.arctan2(eigenvectors[1, -1], eigenvectors[0, -1]))
+    )
+    width, height = 2 * n_std * np.sqrt(np.maximum(eigenvalues, 0))
+    ellipse = matplotlib.patches.Ellipse(
+        xy=mean,
+        width=width,
+        height=height,
+        angle=angle,
+        edgecolor=colour,
+        facecolor="none",
+        linewidth=2,
+    )
+    ax.add_patch(ellipse)
+
+
+def plot_values(
+    values,
+    colour_coding: np.ndarray | None = None,
+    colour_coding_title: str = "class",
+    centroids: dict[str, Any] | None = None,
+    name: str = "latent_space",
+    directory: str = ".",
+    axis_labels: tuple[str, str] = ("component 1", "component 2"),
+) -> str:
+    """2-D scatter with optional label colouring and GM centroid means +
+    covariance ellipses (``figures/utilities.py:86``)."""
+    values = _densify(values)[:, :2]
+    fig, ax = plt.subplots(figsize=(6, 6))
+    if colour_coding is not None:
+        colour_coding = np.asarray(colour_coding)
+        class_names = sorted(np.unique(colour_coding).tolist(), key=str)
+        palette = _class_palette(class_names)
+        for class_name in class_names:
+            idx = colour_coding == class_name
+            ax.scatter(
+                values[idx, 0],
+                values[idx, 1],
+                s=4,
+                alpha=0.6,
+                color=palette[class_name],
+                label=str(class_name),
+                linewidths=0,
+            )
+        ax.legend(
+            frameon=False, fontsize="x-small", markerscale=2,
+            title=colour_coding_title, loc="best",
+        )
+    else:
+        ax.scatter(values[:, 0], values[:, 1], s=4, alpha=0.6, linewidths=0)
+
+    if centroids and centroids.get("means") is not None:
+        means = np.asarray(centroids["means"])
+        means = means.reshape(-1, means.shape[-1])[:, :2]
+        covariances = centroids.get("covariance_matrices")
+        colours = seaborn.color_palette("deep", means.shape[0])
+        for k, mean in enumerate(means):
+            ax.scatter(
+                mean[0], mean[1], marker="x", s=60, color=colours[k],
+                zorder=3,
+            )
+            if covariances is not None:
+                cov = np.asarray(covariances).reshape(
+                    -1, covariances.shape[-2], covariances.shape[-1]
+                )[k][:2, :2]
+                _covariance_ellipse(mean, cov, colours[k], ax)
+
+    ax.set_xlabel(axis_labels[0])
+    ax.set_ylabel(axis_labels[1])
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Histograms (reference figures/histograms.py)
+# --------------------------------------------------------------------------
+
+
+def plot_histogram(
+    values,
+    name: str = "histogram",
+    directory: str = ".",
+    discrete: bool = False,
+    normed: bool = False,
+    scale: str = "linear",
+    label: str = "value",
+) -> str:
+    values = _densify(values).flatten()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    if discrete:
+        maximum = int(min(values.max(), 200))
+        bins = np.arange(maximum + 2) - 0.5
+    else:
+        bins = "auto"
+    ax.hist(values, bins=bins, density=normed)
+    ax.set_yscale(scale)
+    ax.set_xlabel(label)
+    ax.set_ylabel("frequency" if not normed else "density")
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+def plot_class_histogram(
+    labels,
+    class_names: Sequence | None = None,
+    normed: bool = False,
+    name: str = "class_histogram",
+    directory: str = ".",
+) -> str:
+    labels = np.asarray(labels)
+    if class_names is None:
+        class_names = np.unique(labels).tolist()
+    counts = np.array([(labels == c).sum() for c in class_names], float)
+    if normed:
+        counts = counts / counts.sum()
+    fig, ax = plt.subplots(figsize=(max(6, 0.4 * len(class_names)), 4))
+    ax.bar(np.arange(len(class_names)), counts)
+    ax.set_xticks(np.arange(len(class_names)))
+    ax.set_xticklabels([str(c) for c in class_names], rotation=90, fontsize=7)
+    ax.set_ylabel("fraction" if normed else "count")
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+def plot_cutoff_count_histogram(
+    values,
+    cutoff: int = 10,
+    name: str = "cutoff_count_histogram",
+    directory: str = ".",
+) -> str:
+    """Histogram of counts with everything ≥ cutoff pooled."""
+    values = _densify(values).flatten()
+    clipped = np.minimum(values, cutoff)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    bins = np.arange(cutoff + 2) - 0.5
+    ax.hist(clipped, bins=bins)
+    ax.set_yscale("log")
+    labels = [str(k) for k in range(cutoff)] + [f"≥{cutoff}"]
+    ax.set_xticks(np.arange(cutoff + 1))
+    ax.set_xticklabels(labels)
+    ax.set_xlabel("count")
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Heat maps / matrices (reference figures/matrices.py)
+# --------------------------------------------------------------------------
+
+
+def plot_heat_map(
+    values,
+    labels: np.ndarray | None = None,
+    name: str = "heat_map",
+    directory: str = ".",
+    x_label: str = "feature",
+    y_label: str = "example",
+    z_label: str = "value",
+    z_symbol: str | None = None,
+    center: float | None = None,
+) -> str:
+    """Value heat map with rows optionally sorted by labels
+    (reference ``subanalyses.py:294``)."""
+    values = _densify(values)
+    if labels is not None:
+        order = np.argsort(np.asarray(labels, dtype=str), kind="stable")
+        values = values[order]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    image = ax.imshow(
+        values,
+        aspect="auto",
+        cmap="RdBu_r" if center is not None else "viridis",
+        interpolation="nearest",
+    )
+    fig.colorbar(image, ax=ax, label=z_symbol or z_label)
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label + (" (sorted by label)" if labels is not None else ""))
+    return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Profile comparisons (reference figures/series.py)
+# --------------------------------------------------------------------------
+
+
+def plot_profile_comparison(
+    observed,
+    expected,
+    expected_total_standard_deviations=None,
+    expected_explained_standard_deviations=None,
+    name: str = "profile_comparison",
+    directory: str = ".",
+    x_label: str = "feature (sorted by observed value)",
+    y_label: str = "count",
+) -> str:
+    """Observed vs reconstructed profile for one cell, features sorted by
+    observed value, with stddev bands."""
+    observed = _densify(observed).flatten()
+    expected = _densify(expected).flatten()
+    order = np.argsort(observed)[::-1]
+    x = np.arange(len(observed))
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.scatter(x, observed[order], s=3, label="observed", zorder=3)
+    ax.plot(x, expected[order], color="C1", label="expected")
+    if expected_total_standard_deviations is not None:
+        std_total = _densify(expected_total_standard_deviations).flatten()[order]
+        ax.fill_between(
+            x,
+            expected[order] - std_total,
+            expected[order] + std_total,
+            alpha=0.2,
+            color="C1",
+            label="total std. dev.",
+        )
+    if expected_explained_standard_deviations is not None:
+        std_explained = _densify(
+            expected_explained_standard_deviations
+        ).flatten()[order]
+        ax.fill_between(
+            x,
+            expected[order] - std_explained,
+            expected[order] + std_explained,
+            alpha=0.35,
+            color="C1",
+            label="explained std. dev.",
+        )
+    ax.set_yscale("symlog")
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    ax.legend(frameon=False, fontsize="small")
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Image sprite sheets (reference images.py)
+# --------------------------------------------------------------------------
+
+
+def combine_images_from_data_set(
+    data_set,
+    number_of_random_examples: int | None = 100,
+    name: str = "image_examples",
+    directory: str = ".",
+    seed: int = 70,
+) -> str:
+    """Tile example images (feature-dimensioned data like MNIST) into one
+    sprite sheet (reference ``analyses/images.py``)."""
+    dims = getattr(data_set, "feature_dimensions", None)
+    if not dims:
+        side = int(np.sqrt(data_set.number_of_features))
+        dims = (side, side)
+    values = _densify(data_set.values)
+    if number_of_random_examples is not None and (
+        values.shape[0] > number_of_random_examples
+    ):
+        rng = np.random.RandomState(seed)
+        values = values[
+            rng.permutation(values.shape[0])[:number_of_random_examples]
+        ]
+    n = values.shape[0]
+    grid = int(np.ceil(np.sqrt(n)))
+    h, w = dims
+    sheet = np.zeros((grid * h, grid * w), values.dtype)
+    for i in range(n):
+        r, c = divmod(i, grid)
+        sheet[r * h:(r + 1) * h, c * w:(c + 1) * w] = values[i].reshape(h, w)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(sheet, cmap="gray")
+    ax.axis("off")
+    return _save(fig, name, directory)

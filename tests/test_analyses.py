@@ -1,0 +1,249 @@
+"""Analyses-layer tests: clustering metrics, summary statistics,
+decomposition, prediction, figures, orchestrators, cross-analysis."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scvae_tpu.analyses import (
+    PredictionSpecifications,
+    analyse_data,
+    analyse_model,
+    analyse_results,
+    cross_analyse,
+    decompose,
+    map_cluster_ids_to_label_ids,
+    predict_labels,
+)
+from scvae_tpu.analyses import figures, metrics
+from scvae_tpu.data import DataSet
+
+
+@pytest.fixture(scope="module")
+def dev_split(tmp_path_factory):
+    directory = str(tmp_path_factory.mktemp("data"))
+    ds = DataSet(
+        "development", directory=directory, example_filter=["random", 400]
+    )
+    return ds.split(method="random", fraction=0.9)
+
+
+class TestClusteringMetrics:
+    def test_ari_perfect(self):
+        labels = np.array(["a", "a", "b", "b"])
+        assert metrics.adjusted_rand_index(labels, np.array([1, 1, 2, 2])) == 1.0
+
+    def test_ari_excludes_classes(self):
+        labels = np.array(["a", "a", "b", "No class"])
+        pred = np.array([1, 1, 2, 7])
+        v1 = metrics.adjusted_rand_index(labels, pred, ["No class"])
+        assert v1 == 1.0
+
+    def test_accuracy(self):
+        labels = np.array(["a", "b", "b"])
+        pred = np.array(["a", "b", "a"])
+        assert metrics.accuracy(labels, pred) == pytest.approx(2 / 3)
+
+    def test_silhouette_degenerate(self):
+        values = np.random.RandomState(0).rand(5, 3)
+        assert np.isnan(metrics.silhouette_score(values, np.ones(5)))
+
+    def test_compute_clustering_metrics(self, dev_split):
+        _, _, test_set = dev_split
+        rng = np.random.RandomState(0)
+        test_set.update_predictions(
+            predicted_cluster_ids=rng.randint(0, 3, test_set.number_of_examples)
+        )
+        out = metrics.compute_clustering_metrics(test_set)
+        assert out["adjusted Rand index"]["clusters"] is not None
+        assert out["silhouette score"]["clusters"] is not None
+        test_set.reset_predictions()
+
+
+class TestSummary:
+    def test_summary_statistics_sparse_vs_dense(self, dev_split):
+        train, _, _ = dev_split
+        dense = np.asarray(train.values.todense())
+        s_sparse = metrics.summary_statistics(train.values, name="sparse")
+        s_dense = metrics.summary_statistics(dense, name="dense", tolerance=0)
+        assert s_sparse["mean"] == pytest.approx(s_dense["mean"], rel=1e-6)
+        assert s_sparse["standard deviation"] == pytest.approx(
+            s_dense["standard deviation"], rel=1e-5
+        )
+        table = metrics.format_summary_statistics([s_sparse, s_dense])
+        assert "sparse" in table and "mean" in table
+
+
+class TestDecomposition:
+    def test_pca_shapes_and_aux(self):
+        rng = np.random.RandomState(0)
+        values = rng.randn(100, 10).astype(np.float32)
+        other = {"valid": rng.randn(20, 10).astype(np.float32)}
+        centroids = {
+            "prior": {
+                "means": rng.randn(3, 10),
+                "covariance_matrices": np.stack([np.eye(10)] * 3),
+            }
+        }
+        decomposed, other_dec, cent_dec = decompose(
+            values, other_value_sets=other, centroids=centroids,
+            method="PCA", number_of_components=2,
+        )
+        assert decomposed.shape == (100, 2)
+        assert other_dec["valid"].shape == (20, 2)
+        assert cent_dec["prior"]["means"].shape == (3, 2)
+        assert cent_dec["prior"]["covariance_matrices"].shape == (3, 2, 2)
+
+    @pytest.mark.parametrize("method", ["PCA", "SVD", "ICA"])
+    def test_methods(self, method):
+        values = np.random.RandomState(0).rand(50, 8).astype(np.float32)
+        out = decompose(values, method=method, number_of_components=2)
+        assert out.shape == (50, 2)
+
+    def test_tsne(self):
+        values = np.random.RandomState(0).rand(60, 5).astype(np.float32)
+        out = decompose(values, method="t-SNE", number_of_components=2)
+        assert out.shape == (60, 2)
+
+
+class TestPrediction:
+    def test_majority_vote(self):
+        label_ids = np.array([0, 0, 1, 1, 1, 2])
+        cluster_ids = np.array([5, 5, 5, 7, 7, 7])
+        out = map_cluster_ids_to_label_ids(label_ids, cluster_ids)
+        np.testing.assert_array_equal(out, [0, 0, 0, 1, 1, 1])
+
+    def test_majority_vote_excludes(self):
+        label_ids = np.array([9, 0, 1, 1])
+        cluster_ids = np.array([5, 5, 5, 5])
+        out = map_cluster_ids_to_label_ids(label_ids, cluster_ids, [9])
+        assert set(out) == {1}
+
+    def test_specifications_name(self):
+        spec = PredictionSpecifications("kmeans", number_of_clusters=4)
+        assert spec.method == "k-means"
+        assert spec.name == "kmeans_4"
+
+    def test_kmeans_predict_labels(self, dev_split):
+        train, _, test = dev_split
+        cluster_ids, predicted_labels, predicted_superset = predict_labels(
+            train, test, method="k-means",
+            number_of_clusters=3,
+        )
+        assert cluster_ids.shape == (test.number_of_examples,)
+        assert predicted_labels is not None
+        assert predicted_superset is not None
+
+
+class TestFigures:
+    def test_learning_curves(self, tmp_path):
+        curves = {
+            "training": {"lower_bound": [-10, -8, -7], "kl_divergence": [1, 2, 3]},
+            "validation": {"lower_bound": [-11, -9, -8]},
+        }
+        path = figures.plot_learning_curves(curves, directory=str(tmp_path))
+        assert os.path.exists(path)
+
+    def test_scatter_with_centroids(self, tmp_path):
+        rng = np.random.RandomState(0)
+        values = rng.randn(100, 2)
+        labels = rng.choice(["a", "b"], 100)
+        centroids = {
+            "means": rng.randn(2, 2),
+            "covariance_matrices": np.stack([np.eye(2)] * 2),
+        }
+        path = figures.plot_values(
+            values, colour_coding=labels, centroids=centroids,
+            directory=str(tmp_path),
+        )
+        assert os.path.exists(path)
+
+    def test_histograms_and_heatmap(self, tmp_path):
+        rng = np.random.RandomState(0)
+        values = rng.poisson(2, (50, 10)).astype(float)
+        assert os.path.exists(
+            figures.plot_cutoff_count_histogram(values, directory=str(tmp_path))
+        )
+        assert os.path.exists(
+            figures.plot_class_histogram(
+                rng.choice(["x", "y"], 50), directory=str(tmp_path)
+            )
+        )
+        assert os.path.exists(
+            figures.plot_heat_map(
+                values, labels=rng.choice(["x", "y"], 50),
+                directory=str(tmp_path),
+            )
+        )
+
+    def test_profile_comparison(self, tmp_path):
+        rng = np.random.RandomState(0)
+        observed = rng.poisson(3, 30).astype(float)
+        expected = observed + rng.randn(30) * 0.3
+        path = figures.plot_profile_comparison(
+            observed, expected,
+            expected_total_standard_deviations=np.full(30, 1.0),
+            directory=str(tmp_path),
+        )
+        assert os.path.exists(path)
+
+
+class TestOrchestrators:
+    def test_analyse_data(self, dev_split, tmp_path):
+        train, valid, test = dev_split
+        results = analyse_data(
+            [train, valid],
+            included_analyses="standard",
+            analyses_directory=str(tmp_path / "analyses"),
+        )
+        assert len(results["statistics"]) == 2
+        assert results["figures"]
+
+    def test_full_result_pipeline_with_cross_analysis(self, dev_split, tmp_path):
+        from scvae_tpu.models import GaussianMixtureVariationalAutoencoder
+
+        train, valid, test = dev_split
+        model = GaussianMixtureVariationalAutoencoder(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="negative binomial",
+            number_of_latent_clusters=3,
+            log_directory=str(tmp_path / "models"),
+        )
+        model.train(
+            train, valid, number_of_epochs=2, minibatch_size=64, verbose=False
+        )
+        analyses_directory = str(tmp_path / "analyses")
+
+        model_results = analyse_model(
+            model, analyses_directory=analyses_directory
+        )
+        assert model_results["figures"]
+
+        transformed, reconstructed, latent = model.evaluate(
+            test, minibatch_size=64, verbose=False
+        )
+        spec = PredictionSpecifications(
+            "model", number_of_clusters=3, training_set_kind="training"
+        )
+        transformed.update_predictions(prediction_specifications=spec)
+        results = analyse_results(
+            transformed,
+            reconstructed,
+            latent,
+            model,
+            included_analyses="all",
+            evaluation_subset_indices=np.arange(3),
+            analyses_directory=analyses_directory,
+        )
+        directory = results["directory"]
+        assert os.path.exists(os.path.join(directory, "test-metrics.pkl.gz"))
+        assert any(
+            name.startswith("test-prediction") and name.endswith(".pkl.gz")
+            for name in os.listdir(directory)
+        )
+
+        table = cross_analyse(analyses_directory, log_summary=True)
+        assert len(table) == 1
+        assert "ELBO" in table.columns
+        assert "ARI" in table.columns
