@@ -177,7 +177,10 @@ def cross_analyse(
                 ax.set_xticks(np.arange(len(table)))
                 ax.set_xticklabels(table.index, rotation=90, fontsize=6)
                 ax.set_ylabel(metric)
-            fig.tight_layout()
+            try:
+                fig.tight_layout()
+            except Exception:
+                pass
             fig.savefig(
                 os.path.join(cross_analysis_directory, "comparison.png"),
                 dpi=150,

@@ -97,6 +97,10 @@ class DataSet:
                 specifications = {}
         self.specifications = dict(specifications)
 
+        if data_format == "infer":
+            # "infer" means: use the specification's format, or fall back
+            # to the file extension captured by parse_input.
+            data_format = None
         self.data_format = (
             data_format
             or self.specifications.get("format")
