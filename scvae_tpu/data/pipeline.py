@@ -27,7 +27,14 @@ import jax
 
 
 def densify_rows(values, indices: np.ndarray) -> np.ndarray:
-    """Slice rows and densify to float32."""
+    """Slice rows and densify to float32 (multi-threaded C++ gather when
+    the native library is available, scipy otherwise)."""
+    if scipy.sparse.issparse(values) and values.format == "csr":
+        from scvae_tpu import native
+
+        out = native.csr_gather_dense(values, np.asarray(indices))
+        if out is not None:
+            return out
     rows = values[indices]
     if scipy.sparse.issparse(rows):
         rows = rows.toarray()

@@ -1,0 +1,139 @@
+"""Pallas fused-likelihood kernel tests: special functions vs jax.lax,
+forward/backward parity vs the distribution library (interpreter mode on
+CPU; SURVEY.md §4 item 4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from scvae_tpu.distributions import NegativeBinomial, Poisson
+from scvae_tpu.models import networks
+from scvae_tpu.ops import (
+    digamma,
+    fused_log_likelihood,
+    lgamma,
+    reference_log_likelihood,
+    supports_fused_likelihood,
+)
+
+
+class TestSpecialFunctions:
+    def test_lgamma_matches_lax(self):
+        x = jnp.asarray(
+            np.concatenate(
+                [np.linspace(0.05, 2, 40), np.linspace(2, 500, 40)]
+            ).astype(np.float32)
+        )
+        ours = lgamma(x)
+        ref = jax.lax.lgamma(x)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_digamma_matches_lax(self):
+        x = jnp.asarray(
+            np.concatenate(
+                [np.linspace(0.05, 2, 40), np.linspace(2, 500, 40)]
+            ).astype(np.float32)
+        )
+        ours = digamma(x)
+        ref = jax.lax.digamma(x)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def _make_case(name, m=48, hidden=16, f=24, seed=0):
+    rng = np.random.RandomState(seed)
+    h = jnp.asarray(rng.randn(m, hidden).astype(np.float32) * 0.5)
+    t = jnp.asarray(rng.poisson(2.0, (m, f)).astype(np.float32))
+    key = jax.random.PRNGKey(seed)
+    if name == "poisson":
+        heads = {"log_lambda": networks.init_dense(key, hidden, f)}
+    else:
+        k1, k2 = jax.random.split(key)
+        heads = {
+            "p": networks.init_dense(k1, hidden, f),
+            "log_r": networks.init_dense(k2, hidden, f),
+        }
+    return h, heads, t
+
+
+def _distribution_log_prob_sum(name, h, heads, t):
+    """Ground truth via the distribution library (same clipping)."""
+    from scvae_tpu.distributions import DISTRIBUTIONS
+
+    spec = DISTRIBUTIONS[name]
+    theta = {
+        pname: spec.parameters[pname].constrain(
+            h @ heads[pname]["kernel"] + heads[pname]["bias"]
+        )
+        for pname in heads
+    }
+    dist = spec.build(theta)
+    return jnp.sum(dist.log_prob(t), axis=-1)
+
+
+class TestReferenceImplementation:
+    @pytest.mark.parametrize("name", ["poisson", "negative binomial"])
+    def test_matches_distribution_library(self, name):
+        h, heads, t = _make_case(name)
+        ref = reference_log_likelihood(name, h, heads, t)
+        expected = _distribution_log_prob_sum(name, h, heads, t)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(expected), rtol=2e-4, atol=2e-3
+        )
+
+
+class TestFusedKernels:
+    @pytest.mark.parametrize("name", ["poisson", "negative binomial"])
+    def test_forward_parity_interpret(self, name):
+        h, heads, t = _make_case(name)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_log_likelihood(name, h, heads, t)
+        expected = reference_log_likelihood(name, h, heads, t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-3
+        )
+
+    @pytest.mark.parametrize("name", ["poisson", "negative binomial"])
+    def test_gradient_parity_interpret(self, name):
+        h, heads, t = _make_case(name)
+
+        def loss_fused(h, heads):
+            return jnp.sum(fused_log_likelihood(name, h, heads, t))
+
+        def loss_reference(h, heads):
+            return jnp.sum(reference_log_likelihood(name, h, heads, t))
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused, argnums=(0, 1))(h, heads)
+        g_ref = jax.grad(loss_reference, argnums=(0, 1))(h, heads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_fused),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_supports(self):
+        assert supports_fused_likelihood("poisson")
+        assert supports_fused_likelihood("negative binomial")
+        assert not supports_fused_likelihood("poisson", k_max=4)
+        assert not supports_fused_likelihood("zero-inflated poisson")
+
+    def test_leading_axes_broadcast(self):
+        h, heads, t = _make_case("poisson", m=8)
+        h3 = jnp.broadcast_to(h, (3,) + h.shape)  # (S, B, H)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_log_likelihood("poisson", h3, heads, t)
+        assert out.shape == (3, 8)
+        expected = reference_log_likelihood("poisson", h, heads, t)
+        np.testing.assert_allclose(
+            np.asarray(out[0]), np.asarray(expected), rtol=1e-4, atol=1e-3
+        )
