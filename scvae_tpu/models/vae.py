@@ -60,6 +60,13 @@ class VAEConfig:
     number_of_warm_up_epochs: int = 0
     kl_weight: float = 1.0
     learning_rate: float = 1e-4
+    # Fused Pallas decoder-head+likelihood kernel for the training loss:
+    # True = use (TPU compiled kernel; jnp reference on other backends),
+    # False/None = default XLA path.  Measured on TPU v5e at
+    # (M=4096, H=256, F=2048): fused ≈ 0.97× XLA — XLA already fuses the
+    # head epilogues well at these shapes, so the kernel is opt-in; it
+    # pays off when head activations (n_params·M·F) stop fitting on-chip.
+    fused_likelihood: bool | None = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -218,8 +225,31 @@ class VAEOutputs:
     q_z: Any  # posterior distribution, batch (B, D)
     p_z: Any  # prior distribution
     z: jax.Array  # latent samples (S, B, D)
-    p_x: Any  # reconstruction distribution, batch (S, B, F)
+    p_x: Any  # reconstruction distribution, batch (S, B, F); None when the
+    # caller requested the fused-likelihood path (heads are applied inside
+    # the Pallas kernel instead)
+    decoder_hidden: jax.Array  # (S, B, H) decoder output
     new_state: State
+
+
+def _fused_path_enabled(config: VAEConfig) -> bool:
+    from scvae_tpu.ops import supports_fused_likelihood
+
+    if config.fused_likelihood is False:
+        return False
+    if not supports_fused_likelihood(
+        config.reconstruction_distribution, config.k_max
+    ):
+        if config.fused_likelihood:
+            raise ValueError(
+                "fused_likelihood=True but "
+                f"{config.reconstruction_distribution!r} (k_max="
+                f"{config.k_max}) has no fused kernel"
+            )
+        return False
+    if config.fused_likelihood is None:
+        return False  # opt-in (see VAEConfig.fused_likelihood)
+    return True
 
 
 def _constrained_head(pspec, head_params, h):
@@ -318,6 +348,7 @@ def forward(
     n_iw: int = 1,
     n_mc: int = 1,
     deterministic_z: bool = False,
+    build_reconstruction: bool = True,
 ) -> VAEOutputs:
     rng_drop_enc, rng_drop_dec, rng_z = jax.random.split(rng, 3)
     new_state: State = {}
@@ -366,9 +397,16 @@ def forward(
     else:
         dec_h = dec_in
 
-    p_x = _build_reconstruction(config, params, dec_h, batch)
+    p_x = (
+        _build_reconstruction(config, params, dec_h, batch)
+        if build_reconstruction
+        else None
+    )
 
-    return VAEOutputs(q_z=q_z, p_z=p_z, z=z, p_x=p_x, new_state=new_state)
+    return VAEOutputs(
+        q_z=q_z, p_z=p_z, z=z, p_x=p_x, decoder_hidden=dec_h,
+        new_state=new_state,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -398,6 +436,7 @@ def elbo_terms(
       * ``kl_divergence`` — scalar KL (summed over latent dims)
       * ``kl_divergence_neurons`` — per-dimension KL (D,)
     """
+    use_fused = _fused_path_enabled(config) and training and not deterministic_z
     outputs = forward(
         config,
         params,
@@ -408,6 +447,7 @@ def elbo_terms(
         n_iw=n_iw,
         n_mc=n_mc,
         deterministic_z=deterministic_z,
+        build_reconstruction=not use_fused,
     )
     t = batch["t"]
     s = outputs.z.shape[0]
@@ -415,10 +455,31 @@ def elbo_terms(
     if deterministic_z:
         n_iw = n_mc = 1
 
-    # log p(x|z): (S, B, F) → sum features → (R, L, B)
-    log_p_x_given_z = jnp.reshape(
-        jnp.sum(outputs.p_x.log_prob(t), axis=-1), (n_iw, n_mc, b)
-    )
+    if use_fused:
+        # Fused Pallas path: head matmuls + log_prob + feature sum in one
+        # kernel; (S, B) → (R, L, B).
+        from scvae_tpu import ops
+
+        if jax.default_backend() == "tpu":
+            rows = ops.fused_log_likelihood(
+                config.reconstruction_distribution,
+                outputs.decoder_hidden,
+                params["reconstruction"],
+                t,
+            )
+        else:
+            rows = ops.reference_log_likelihood(
+                config.reconstruction_distribution,
+                outputs.decoder_hidden,
+                params["reconstruction"],
+                t,
+            )
+        log_p_x_given_z = jnp.reshape(rows, (n_iw, n_mc, b))
+    else:
+        # log p(x|z): (S, B, F) → sum features → (R, L, B)
+        log_p_x_given_z = jnp.reshape(
+            jnp.sum(outputs.p_x.log_prob(t), axis=-1), (n_iw, n_mc, b)
+        )
     reconstruction_error = jnp.mean(log_p_x_given_z)
 
     if config.analytical_kl and not deterministic_z:

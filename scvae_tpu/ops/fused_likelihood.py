@@ -12,6 +12,12 @@ into one VMEM-resident pass (flash-attention-style: the backward
 recomputes head activations per tile instead of storing them), cutting
 HBM traffic from O(n_params·M·F) to O(M·(H+F)).
 
+Tiling: 2-D grids over (rows, features).  The forward accumulates the
+row-sum over feature tiles; the backward makes rows the minor grid axis
+so each dW tile stays VMEM-resident across the whole row loop while dh
+tiles accumulate across feature tiles.  Tile sizes keep the per-program
+VMEM footprint well under the ~16 MB budget.
+
 Supported likelihoods: Poisson (``log_lambda`` head) and negative binomial
 (``p``-logit + ``log_r`` heads, TFP convention).  Semantics match the
 registry: activations clipped to support ∓ float32 tiny with zero gradient
@@ -25,7 +31,6 @@ log-likelihoods, differentiable w.r.t. ``h`` and every head kernel/bias.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -37,10 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 from scvae_tpu.ops.special import digamma, lgamma
 
 _TINY = float(np.finfo(np.float32).tiny)
-_LOG_TINY = float(np.log(np.finfo(np.float32).tiny))  # ≈ −87.34
 
-# Tile sizes: rows per program; the full feature axis stays resident.
+# Row / feature tile sizes.
 _TM = 256
+_TF = 512
 
 FUSED_LIKELIHOODS = ("poisson", "negative binomial")
 
@@ -59,8 +64,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _poisson_ll(a_l, t):
-    """log Poisson(t | exp(clip(a_l, ±10))) without the lgamma(1+t) term
-    (constant w.r.t. parameters; added back by the caller)."""
+    """log Poisson(t | exp(clip(a_l, ±10))) without the −lgamma(1+t) term
+    (added by the caller; kept out of the gradient path)."""
     log_lam = jnp.clip(a_l, -10.0 + _TINY, 10.0 - _TINY)
     return t * log_lam - jnp.exp(log_lam)
 
@@ -77,31 +82,21 @@ def _nb_ll(a_p, a_r, t):
     p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, 1.0 - _TINY)
     log_r = jnp.clip(a_r, -10.0 + _TINY, 10.0 - _TINY)
     r = jnp.exp(log_r)
-    return (
-        lgamma(t + r)
-        - lgamma(r)
-        + r * jnp.log1p(-p)
-        + t * jnp.log(p)
-    )
+    return lgamma(t + r) - lgamma(r) + r * jnp.log1p(-p) + t * jnp.log(p)
 
 
 def _nb_grads(a_p, a_r, t):
     p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, 1.0 - _TINY)
     log_r = jnp.clip(a_r, -10.0 + _TINY, 10.0 - _TINY)
     r = jnp.exp(log_r)
-    # d ll / d a_p — through p = σ(a_p): (t/p − r/(1−p)) · p(1−p)
-    #             = t(1−p) − r p   (exact when unclipped)
-    p_inside = jnp.logical_and(
-        jax.nn.sigmoid(a_p) > _TINY, jax.nn.sigmoid(a_p) < 1.0 - _TINY
-    )
+    # d ll / d a_p through p = σ(a_p): (t/p − r/(1−p))·p(1−p) = t(1−p) − r·p
+    p_raw = jax.nn.sigmoid(a_p)
+    p_inside = jnp.logical_and(p_raw > _TINY, p_raw < 1.0 - _TINY)
     g_p = jnp.where(p_inside, t * (1.0 - p) - r * p, 0.0)
-    # d ll / d a_r — through r = exp(a_r):
-    # r · (ψ(t+r) − ψ(r) + log1p(−p))
+    # d ll / d a_r through r = exp(a_r): r·(ψ(t+r) − ψ(r) + log1p(−p))
     r_inside = jnp.logical_and(a_r > -10.0 + _TINY, a_r < 10.0 - _TINY)
     g_r = jnp.where(
-        r_inside,
-        r * (digamma(t + r) - digamma(r) + jnp.log1p(-p)),
-        0.0,
+        r_inside, r * (digamma(t + r) - digamma(r) + jnp.log1p(-p)), 0.0
     )
     return g_p, g_r
 
@@ -127,66 +122,97 @@ def reference_log_likelihood(name, h, heads, t):
 
 
 # --------------------------------------------------------------------------
-# Pallas kernels — negative binomial
+# Generic fused machinery
+#
+# A likelihood is described by its head names, an `ll(activations, t)`
+# elementwise log-prob, and a `grads(activations, t)` tuple of
+# d ll / d activation.  The forward/backward kernels below are generated
+# from that description, so adding a fused likelihood means adding two
+# small functions.
 # --------------------------------------------------------------------------
 
 
-def _nb_forward_kernel(h_ref, wp_ref, bp_ref, wr_ref, br_ref, t_ref, o_ref):
-    h = h_ref[:]
-    a_p = (
-        jnp.dot(h, wp_ref[:], preferred_element_type=jnp.float32)
-        + bp_ref[:]
-    )
-    a_r = (
-        jnp.dot(h, wr_ref[:], preferred_element_type=jnp.float32)
-        + br_ref[:]
-    )
-    t = t_ref[:]
-    ll = _nb_ll(a_p, a_r, t) - lgamma(1.0 + t)
-    o_ref[:] = jnp.sum(ll, axis=1, keepdims=True)
+def _make_forward_kernel(n_heads, ll_fn):
+    def kernel(*refs):
+        h_ref = refs[0]
+        w_refs = refs[1:1 + 2 * n_heads:2]
+        b_refs = refs[2:2 + 2 * n_heads:2]
+        t_ref = refs[1 + 2 * n_heads]
+        o_ref = refs[2 + 2 * n_heads]
+        j = pl.program_id(1)
+        h = h_ref[:]
+        activations = tuple(
+            jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+            for w_ref, b_ref in zip(w_refs, b_refs)
+        )
+        t = t_ref[:]
+        ll = ll_fn(activations, t) - lgamma(1.0 + t)
+        partial = jnp.sum(ll, axis=1, keepdims=True)
+
+        @pl.when(j == 0)
+        def _init():
+            o_ref[:] = partial
+
+        @pl.when(j > 0)
+        def _accumulate():
+            o_ref[:] += partial
+
+    return kernel
 
 
-def _nb_backward_kernel(
-    g_ref, h_ref, wp_ref, bp_ref, wr_ref, br_ref, t_ref,
-    dh_ref, dwp_ref, dbp_ref, dwr_ref, dbr_ref,
-):
-    i = pl.program_id(0)
-    h = h_ref[:]
-    a_p = (
-        jnp.dot(h, wp_ref[:], preferred_element_type=jnp.float32)
-        + bp_ref[:]
-    )
-    a_r = (
-        jnp.dot(h, wr_ref[:], preferred_element_type=jnp.float32)
-        + br_ref[:]
-    )
-    g_p, g_r = _nb_grads(a_p, a_r, t_ref[:])
-    g = g_ref[:]  # (TM, 1) row cotangents
-    g_p = g_p * g
-    g_r = g_r * g
+def _make_backward_kernel(n_heads, grads_fn):
+    def kernel(*refs):
+        g_ref = refs[0]
+        h_ref = refs[1]
+        w_refs = refs[2:2 + 2 * n_heads:2]
+        b_refs = refs[3:3 + 2 * n_heads:2]
+        t_ref = refs[2 + 2 * n_heads]
+        out = refs[3 + 2 * n_heads:]
+        dh_ref = out[0]
+        dw_refs = out[1:1 + 2 * n_heads:2]
+        db_refs = out[2:2 + 2 * n_heads:2]
+        # grid = (F tiles, M tiles); rows are the minor axis so each dW/db
+        # tile stays resident across the whole row loop.
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        h = h_ref[:]
+        activations = tuple(
+            jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+            for w_ref, b_ref in zip(w_refs, b_refs)
+        )
+        gs = grads_fn(activations, t_ref[:])
+        g = g_ref[:]  # (TM, 1) row cotangents
+        gs = tuple(g_a * g for g_a in gs)
 
-    dh_ref[:] = jnp.dot(
-        g_p, wp_ref[:].T, preferred_element_type=jnp.float32
-    ) + jnp.dot(g_r, wr_ref[:].T, preferred_element_type=jnp.float32)
+        dh = gs[0] @ w_refs[0][:].T
+        for g_a, w_ref in zip(gs[1:], w_refs[1:]):
+            dh += jnp.dot(g_a, w_ref[:].T, preferred_element_type=jnp.float32)
 
-    dwp = jnp.dot(h.T, g_p, preferred_element_type=jnp.float32)
-    dwr = jnp.dot(h.T, g_r, preferred_element_type=jnp.float32)
-    dbp = jnp.sum(g_p, axis=0, keepdims=True)
-    dbr = jnp.sum(g_r, axis=0, keepdims=True)
+        @pl.when(j == 0)
+        def _init_dh():
+            dh_ref[:] = dh
 
-    @pl.when(i == 0)
-    def _init():
-        dwp_ref[:] = dwp
-        dwr_ref[:] = dwr
-        dbp_ref[:] = dbp
-        dbr_ref[:] = dbr
+        @pl.when(j > 0)
+        def _acc_dh():
+            dh_ref[:] += dh
 
-    @pl.when(i > 0)
-    def _accumulate():
-        dwp_ref[:] += dwp
-        dwr_ref[:] += dwr
-        dbp_ref[:] += dbp
-        dbr_ref[:] += dbr
+        for g_a, dw_ref, db_ref in zip(gs, dw_refs, db_refs):
+            dw = jnp.dot(h.T, g_a, preferred_element_type=jnp.float32)
+            db = jnp.sum(g_a, axis=0, keepdims=True)
+
+            @pl.when(i == 0)
+            def _init_dw(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+                dw_ref[:] = dw
+                db_ref[:] = db
+
+            @pl.when(i > 0)
+            def _acc_dw(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+                dw_ref[:] += dw
+                db_ref[:] += db
+
+    return kernel
 
 
 def _pad_rows(x, m_padded):
@@ -196,193 +222,182 @@ def _pad_rows(x, m_padded):
     return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _fused_nb(h, wp, bp, wr, br, t):
-    out, _ = _fused_nb_fwd(h, wp, bp, wr, br, t)
-    return out
+def _pad_cols(x, f_padded):
+    pad = f_padded - x.shape[-1]
+    if pad:
+        return jnp.pad(x, ((0, 0), (0, pad)))
+    return x
 
 
-def _nb_call_forward(h, wp, bp, wr, br, t):
+def _fused_forward(ll_fn, h, weights, biases, t):
+    n_heads = len(weights)
     m, hidden = h.shape
     f = t.shape[-1]
     m_padded = _round_up(max(m, 8), _TM)
+    f_padded = _round_up(f, _TF)
     h_p = _pad_rows(h, m_padded)
-    t_p = _pad_rows(t, m_padded)
-    grid = (m_padded // _TM,)
+    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    ws = [_pad_cols(w, f_padded) for w in weights]
+    bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
+
+    in_specs = [
+        pl.BlockSpec((_TM, hidden), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    operands = [h_p]
+    for w, b in zip(ws, bs):
+        in_specs.append(
+            pl.BlockSpec((hidden, _TF), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(w)
+        in_specs.append(
+            pl.BlockSpec((1, _TF), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(b)
+    in_specs.append(
+        pl.BlockSpec((_TM, _TF), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    )
+    operands.append(t_p)
+
     out = pl.pallas_call(
-        _nb_forward_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TM, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        _make_forward_kernel(n_heads, ll_fn),
+        grid=(m_padded // _TM, f_padded // _TF),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (_TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (_TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m_padded, 1), jnp.float32),
-    )(h_p, wp, bp.reshape(1, f), wr, br.reshape(1, f), t_p)
-    return out[:m, 0]
+    )(*operands)
+    correction = 0.0
+    if f_padded != f:
+        # padded features contribute −lgamma(1) = 0 from the constant and
+        # ll_fn(0-activations, t=0); subtract that constant contribution.
+        zero_act = tuple(
+            jnp.zeros((1, f_padded - f), jnp.float32) for _ in range(n_heads)
+        )
+        # activations in the padded region are 0·W + b_pad = 0 (b padded 0)
+        pad_ll = ll_fn(zero_act, jnp.zeros((1, f_padded - f), jnp.float32))
+        correction = jnp.sum(pad_ll)
+    return out[:m, 0] - correction
+
+
+def _fused_backward(grads_fn, h, weights, biases, t, g):
+    n_heads = len(weights)
+    m, hidden = h.shape
+    f = t.shape[-1]
+    m_padded = _round_up(max(m, 8), _TM)
+    f_padded = _round_up(f, _TF)
+    h_p = _pad_rows(h, m_padded)
+    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    g_p = _pad_rows(g.reshape(m, 1), m_padded)
+    ws = [_pad_cols(w, f_padded) for w in weights]
+    bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
+
+    in_specs = [
+        pl.BlockSpec((_TM, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_TM, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [g_p, h_p]
+    for w, b in zip(ws, bs):
+        in_specs.append(
+            pl.BlockSpec((hidden, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(w)
+        in_specs.append(
+            pl.BlockSpec((1, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(b)
+    in_specs.append(
+        pl.BlockSpec((_TM, _TF), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    )
+    operands.append(t_p)
+
+    out_specs = [
+        pl.BlockSpec((_TM, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((m_padded, hidden), jnp.float32)]
+    for _ in range(n_heads):
+        out_specs.append(
+            pl.BlockSpec((hidden, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((hidden, f_padded), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, f_padded), jnp.float32))
+
+    outputs = pl.pallas_call(
+        _make_backward_kernel(n_heads, grads_fn),
+        grid=(f_padded // _TF, m_padded // _TM),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*operands)
+    dh = outputs[0][:m]
+    dws = [outputs[1 + 2 * k][:, :f] for k in range(n_heads)]
+    dbs = [outputs[2 + 2 * k][0, :f] for k in range(n_heads)]
+    return dh, dws, dbs
+
+
+# --------------------------------------------------------------------------
+# Likelihood-specific wrappers with custom VJPs
+# --------------------------------------------------------------------------
+
+
+def _nb_ll_packed(activations, t):
+    a_p, a_r = activations
+    return _nb_ll(a_p, a_r, t)
+
+
+def _nb_grads_packed(activations, t):
+    a_p, a_r = activations
+    return _nb_grads(a_p, a_r, t)
+
+
+@jax.custom_vjp
+def _fused_nb(h, wp, bp, wr, br, t):
+    return _fused_forward(_nb_ll_packed, h, (wp, wr), (bp, br), t)
 
 
 def _fused_nb_fwd(h, wp, bp, wr, br, t):
-    out = _nb_call_forward(h, wp, bp, wr, br, t)
-    return out, (h, wp, bp, wr, br, t)
+    return _fused_nb(h, wp, bp, wr, br, t), (h, wp, bp, wr, br, t)
 
 
 def _fused_nb_bwd(residuals, g):
     h, wp, bp, wr, br, t = residuals
-    m, hidden = h.shape
-    f = t.shape[-1]
-    m_padded = _round_up(max(m, 8), _TM)
-    h_p = _pad_rows(h, m_padded)
-    t_p = _pad_rows(t, m_padded)
-    g_p = _pad_rows(g.reshape(m, 1), m_padded)
-    grid = (m_padded // _TM,)
-    dh, dwp, dbp, dwr, dbr = pl.pallas_call(
-        _nb_backward_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_TM, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_padded, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, f), jnp.float32),
-            jax.ShapeDtypeStruct((1, f), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, f), jnp.float32),
-            jax.ShapeDtypeStruct((1, f), jnp.float32),
-        ],
-    )(g_p, h_p, wp, bp.reshape(1, f), wr, br.reshape(1, f), t_p)
-    return (
-        dh[:m],
-        dwp,
-        dbp.reshape(f),
-        dwr,
-        dbr.reshape(f),
-        jnp.zeros_like(t),
+    dh, (dwp, dwr), (dbp, dbr) = _fused_backward(
+        _nb_grads_packed, h, (wp, wr), (bp, br), t, g
     )
+    return dh, dwp, dbp, dwr, dbr, jnp.zeros_like(t)
 
 
 _fused_nb.defvjp(_fused_nb_fwd, _fused_nb_bwd)
 
 
-# --------------------------------------------------------------------------
-# Pallas kernels — Poisson
-# --------------------------------------------------------------------------
+def _poisson_ll_packed(activations, t):
+    (a_l,) = activations
+    return _poisson_ll(a_l, t)
 
 
-def _poisson_forward_kernel(h_ref, wl_ref, bl_ref, t_ref, o_ref):
-    a_l = (
-        jnp.dot(h_ref[:], wl_ref[:], preferred_element_type=jnp.float32)
-        + bl_ref[:]
-    )
-    t = t_ref[:]
-    ll = _poisson_ll(a_l, t) - lgamma(1.0 + t)
-    o_ref[:] = jnp.sum(ll, axis=1, keepdims=True)
-
-
-def _poisson_backward_kernel(
-    g_ref, h_ref, wl_ref, bl_ref, t_ref, dh_ref, dwl_ref, dbl_ref
-):
-    i = pl.program_id(0)
-    h = h_ref[:]
-    a_l = (
-        jnp.dot(h, wl_ref[:], preferred_element_type=jnp.float32)
-        + bl_ref[:]
-    )
-    g_l = _poisson_grad(a_l, t_ref[:]) * g_ref[:]
-    dh_ref[:] = jnp.dot(g_l, wl_ref[:].T, preferred_element_type=jnp.float32)
-    dwl = jnp.dot(h.T, g_l, preferred_element_type=jnp.float32)
-    dbl = jnp.sum(g_l, axis=0, keepdims=True)
-
-    @pl.when(i == 0)
-    def _init():
-        dwl_ref[:] = dwl
-        dbl_ref[:] = dbl
-
-    @pl.when(i > 0)
-    def _accumulate():
-        dwl_ref[:] += dwl
-        dbl_ref[:] += dbl
+def _poisson_grads_packed(activations, t):
+    (a_l,) = activations
+    return (_poisson_grad(a_l, t),)
 
 
 @jax.custom_vjp
 def _fused_poisson(h, wl, bl, t):
-    out, _ = _fused_poisson_fwd(h, wl, bl, t)
-    return out
+    return _fused_forward(_poisson_ll_packed, h, (wl,), (bl,), t)
 
 
 def _fused_poisson_fwd(h, wl, bl, t):
-    m, hidden = h.shape
-    f = t.shape[-1]
-    m_padded = _round_up(max(m, 8), _TM)
-    h_p = _pad_rows(h, m_padded)
-    t_p = _pad_rows(t, m_padded)
-    grid = (m_padded // _TM,)
-    out = pl.pallas_call(
-        _poisson_forward_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TM, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (_TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((m_padded, 1), jnp.float32),
-    )(h_p, wl, bl.reshape(1, f), t_p)
-    return out[:m, 0], (h, wl, bl, t)
+    return _fused_poisson(h, wl, bl, t), (h, wl, bl, t)
 
 
 def _fused_poisson_bwd(residuals, g):
     h, wl, bl, t = residuals
-    m, hidden = h.shape
-    f = t.shape[-1]
-    m_padded = _round_up(max(m, 8), _TM)
-    h_p = _pad_rows(h, m_padded)
-    t_p = _pad_rows(t, m_padded)
-    g_p = _pad_rows(g.reshape(m, 1), m_padded)
-    grid = (m_padded // _TM,)
-    dh, dwl, dbl = pl.pallas_call(
-        _poisson_backward_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((_TM, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m_padded, hidden), jnp.float32),
-            jax.ShapeDtypeStruct((hidden, f), jnp.float32),
-            jax.ShapeDtypeStruct((1, f), jnp.float32),
-        ],
-    )(g_p, h_p, wl, bl.reshape(1, f), t_p)
-    return dh[:m], dwl, dbl.reshape(f), jnp.zeros_like(t)
+    dh, (dwl,), (dbl,) = _fused_backward(
+        _poisson_grads_packed, h, (wl,), (bl,), t, g
+    )
+    return dh, dwl, dbl, jnp.zeros_like(t)
 
 
 _fused_poisson.defvjp(_fused_poisson_fwd, _fused_poisson_bwd)
