@@ -591,6 +591,37 @@ def _load_pickled_mnist(path: str, binarised: bool):
     }
 
 
+@_register_loader("mnist_keras")
+def _load_keras_mnist_data_set(paths):
+    """Keras-style ``mnist.npz`` (x_train/y_train/x_test/y_test arrays) —
+    reference ``loaders.py:542-584`` uses ``keras.datasets``; here the npz
+    is read directly."""
+    with np.load(paths["all"]["full"], allow_pickle=False) as archive:
+        x_train = archive["x_train"]
+        y_train = archive["y_train"]
+        x_test = archive["x_test"]
+        y_test = archive["y_test"]
+    m_training = x_train.shape[0]
+    m_total = m_training + x_test.shape[0]
+    n = int(np.prod(x_train.shape[1:]))
+    values = np.concatenate(
+        (x_train.reshape(-1, n), x_test.reshape(-1, n))
+    ).astype(np.float32)
+    labels = np.concatenate((y_train, y_test))
+    return {
+        "values": SparseRowMatrix(scipy.sparse.csr_matrix(values)),
+        "labels": labels,
+        "example names": np.array(
+            [f"image {i + 1}" for i in range(m_total)]
+        ),
+        "feature names": np.array([f"pixel {j + 1}" for j in range(n)]),
+        "split indices": {
+            "training": slice(0, m_training),
+            "test": slice(m_training, m_total),
+        },
+    }
+
+
 @_register_loader("mnist_normalised")
 def _load_normalised_mnist_data_set(paths):
     return _load_pickled_mnist(paths["all"]["full"], binarised=False)

@@ -12,9 +12,11 @@ files).  Three versions per run: the main directory (end of training),
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import os
 import shutil
+import threading
 from typing import Any
 
 import jax
@@ -23,6 +25,38 @@ import numpy as np
 CHECKPOINT_FILE = "checkpoint.npz"
 METADATA_FILE = "checkpoint.json"
 LEARNING_CURVES_FILE = "learning_curves.json"
+
+# Single-worker executor: async writes stay ordered relative to each other
+# and to version-copy operations submitted through the same queue.
+_executor: concurrent.futures.ThreadPoolExecutor | None = None
+_executor_lock = threading.Lock()
+_pending: list[concurrent.futures.Future] = []
+
+
+def _get_executor() -> concurrent.futures.ThreadPoolExecutor:
+    global _executor
+    with _executor_lock:
+        if _executor is None:
+            _executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt"
+            )
+    return _executor
+
+
+def _submit(fn, *args) -> None:
+    future = _get_executor().submit(fn, *args)
+    _pending.append(future)
+    # prune completed futures, surfacing any write error
+    done = [f for f in _pending if f.done()]
+    for f in done:
+        _pending.remove(f)
+        f.result()
+
+
+def wait_for_pending_writes() -> None:
+    """Block until all queued async checkpoint operations complete."""
+    while _pending:
+        _pending.pop(0).result()
 
 
 def _flatten(tree: Any) -> dict[str, np.ndarray]:
@@ -33,6 +67,18 @@ def _flatten(tree: Any) -> dict[str, np.ndarray]:
     return flat
 
 
+def _write_checkpoint(directory: str, flat: dict, metadata: dict) -> None:
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, CHECKPOINT_FILE + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, os.path.join(directory, CHECKPOINT_FILE))
+    tmp = os.path.join(directory, METADATA_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(metadata, f, indent=2)
+    os.replace(tmp, os.path.join(directory, METADATA_FILE))
+
+
 def save_checkpoint(
     directory: str,
     tree: Any,
@@ -40,23 +86,24 @@ def save_checkpoint(
     epoch: int,
     step: int | None = None,
     extra_metadata: dict[str, Any] | None = None,
+    async_write: bool = False,
 ) -> None:
-    """Atomically persist a pytree + metadata into ``directory``."""
-    os.makedirs(directory, exist_ok=True)
-    flat = _flatten(tree)
-    tmp = os.path.join(directory, CHECKPOINT_FILE + ".tmp")
-    with open(tmp, "wb") as f:
-        np.savez(f, **flat)
-    os.replace(tmp, os.path.join(directory, CHECKPOINT_FILE))
-    metadata = {"epoch": int(epoch)}
+    """Atomically persist a pytree + metadata into ``directory``.
+
+    ``async_write`` snapshots the leaves to host memory and performs the
+    file IO on a background worker (ordered with any other async
+    checkpoint operations), so training never blocks on disk.
+    """
+    flat = _flatten(tree)  # device→host copies happen here, synchronously
+    metadata: dict[str, Any] = {"epoch": int(epoch)}
     if step is not None:
         metadata["step"] = int(step)
     if extra_metadata:
         metadata.update(extra_metadata)
-    tmp = os.path.join(directory, METADATA_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(metadata, f, indent=2)
-    os.replace(tmp, os.path.join(directory, METADATA_FILE))
+    if async_write:
+        _submit(_write_checkpoint, directory, flat, metadata)
+    else:
+        _write_checkpoint(directory, flat, metadata)
 
 
 def checkpoint_exists(directory: str) -> bool:
@@ -91,9 +138,7 @@ def restore_checkpoint(directory: str, tree_like: Any) -> tuple[Any, dict]:
     ), metadata
 
 
-def copy_checkpoint_version(source_directory: str, target_directory: str) -> None:
-    """Snapshot the main checkpoint into a version subdirectory (replaces
-    the reference's ``copy_model_directory``)."""
+def _copy_version(source_directory: str, target_directory: str) -> None:
     os.makedirs(target_directory, exist_ok=True)
     for filename in (CHECKPOINT_FILE, METADATA_FILE):
         source = os.path.join(source_directory, filename)
@@ -101,11 +146,29 @@ def copy_checkpoint_version(source_directory: str, target_directory: str) -> Non
             shutil.copyfile(source, os.path.join(target_directory, filename))
 
 
-def remove_checkpoint(directory: str) -> None:
+def copy_checkpoint_version(
+    source_directory: str, target_directory: str, *, async_write: bool = False
+) -> None:
+    """Snapshot the main checkpoint into a version subdirectory (replaces
+    the reference's ``copy_model_directory``)."""
+    if async_write:
+        _submit(_copy_version, source_directory, target_directory)
+    else:
+        _copy_version(source_directory, target_directory)
+
+
+def _remove(directory: str) -> None:
     for filename in (CHECKPOINT_FILE, METADATA_FILE):
         path = os.path.join(directory, filename)
         if os.path.exists(path):
             os.remove(path)
+
+
+def remove_checkpoint(directory: str, *, async_write: bool = False) -> None:
+    if async_write:
+        _submit(_remove, directory)
+    else:
+        _remove(directory)
 
 
 # --------------------------------------------------------------------------

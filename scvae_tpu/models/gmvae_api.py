@@ -214,6 +214,107 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
 
         return evaluate
 
+    # -- per-epoch cluster accuracy (reference GMVAE train loop tracks
+    # accuracy/superset accuracy every epoch, ``:1299-1333``) ------------
+
+    def _make_accuracy_callback(self, data_sets: dict[str, Any]):
+        """Returns an epoch_callback computing argmax-q(y|x) cluster ids →
+        majority-vote labels → accuracy for each labelled subset, appended
+        to the run's learning curves by the harness caller."""
+        import jax.numpy as jnp
+
+        config = self.config
+
+        del config
+
+        @jax.jit
+        def cluster_ids_fn(params, model_state, x):
+            # Only the q(y|x) head is needed for cluster ids.
+            h_y, _ = networks.apply_mlp(
+                params["q_y"]["encoder"],
+                model_state.get("q_y", {}),
+                x,
+                training=False,
+            )
+            logits = networks.apply_dense(params["q_y"]["logits"], h_y)
+            return jnp.argmax(logits, axis=-1)
+
+        import scipy.sparse
+
+        prepared = {}
+        for kind, data_set in data_sets.items():
+            if data_set is None or not data_set.has_labels:
+                continue
+            values = data_set.preprocessed_values
+            if values is None:
+                values = data_set.values
+            if scipy.sparse.issparse(values):
+                values = values.toarray()
+            to_id = data_set.class_name_to_class_id
+            label_ids = np.array([to_id[n] for n in data_set.labels])
+            excluded = [
+                to_id[n]
+                for n in (data_set.excluded_classes or [])
+                if n in to_id
+            ]
+            prepared[kind] = (
+                jnp.asarray(np.asarray(values, np.float32)),
+                label_ids,
+                excluded,
+            )
+
+        def callback(epoch, train_state, epoch_metrics):
+            for kind, (x, label_ids, excluded) in prepared.items():
+                ids = np.asarray(
+                    cluster_ids_fn(
+                        train_state.params, train_state.model_state, x
+                    )
+                )
+                predicted = map_cluster_ids_to_label_ids(
+                    label_ids, ids, excluded
+                )
+                keep = ~np.isin(label_ids, excluded)
+                accuracy = (
+                    float((predicted[keep] == label_ids[keep]).mean())
+                    if keep.any()
+                    else float("nan")
+                )
+                epoch_metrics.setdefault(kind, {})["accuracy"] = accuracy
+
+        return callback
+
+    def train(
+        self,
+        training_set,
+        validation_set=None,
+        *,
+        track_accuracy: bool = True,
+        epoch_callback=None,
+        **kwargs,
+    ):
+        """GMVAE training additionally tracks per-epoch cluster accuracy
+        against labels when available (reference ``:1299-1333``)."""
+        if track_accuracy and (
+            training_set.has_labels
+            or (validation_set is not None and validation_set.has_labels)
+        ):
+            accuracy_callback = self._make_accuracy_callback(
+                {"training": training_set, "validation": validation_set}
+            )
+            user_callback = epoch_callback
+
+            def epoch_callback(epoch, train_state, epoch_metrics):
+                accuracy_callback(epoch, train_state, epoch_metrics)
+                if user_callback is not None:
+                    user_callback(epoch, train_state, epoch_metrics)
+
+        return super().train(
+            training_set,
+            validation_set,
+            epoch_callback=epoch_callback,
+            **kwargs,
+        )
+
     # -- evaluate ----------------------------------------------------------
 
     def evaluate(

@@ -127,6 +127,7 @@ def run_training_loop(
     start_epoch: int = 0,
     verbose: bool = True,
     epoch_callback: Callable[[int, TrainState, dict], None] | None = None,
+    async_checkpoints: bool = True,
 ) -> TrainingResult:
     """Run epochs ``start_epoch → number_of_epochs`` (see module docstring)."""
     early = EarlyStopping(rounds=early_stopping_rounds)
@@ -167,6 +168,11 @@ def run_training_loop(
             rng, sub = jax.random.split(rng)
             epoch_metrics["validation"] = evaluate_validation(train_state, sub)
 
+        # The callback runs before persistence so it may add metrics (the
+        # GMVAE appends per-epoch cluster accuracies this way).
+        if epoch_callback is not None:
+            epoch_callback(epoch, train_state, epoch_metrics)
+
         for kind, metrics in epoch_metrics.items():
             kind_history = history.setdefault(kind, {})
             for name, value in metrics.items():
@@ -179,6 +185,7 @@ def run_training_loop(
                 train_state,
                 epoch=epoch + 1,
                 step=int(train_state.step),
+                async_write=async_checkpoints,
             )
 
         if verbose:
@@ -197,9 +204,6 @@ def run_training_loop(
                 )
             print("  ".join(pieces))
 
-        if epoch_callback is not None:
-            epoch_callback(epoch, train_state, epoch_metrics)
-
         # Early stopping + best-model snapshots follow the validation bound.
         if "validation" in epoch_metrics:
             status = early.update(
@@ -211,14 +215,18 @@ def run_training_loop(
                     checkpoints.copy_checkpoint_version(
                         log_directory,
                         os.path.join(log_directory, "early_stopping"),
+                        async_write=async_checkpoints,
                     )
                 if status["improved"]:
                     checkpoints.copy_checkpoint_version(
-                        log_directory, os.path.join(log_directory, "best")
+                        log_directory,
+                        os.path.join(log_directory, "best"),
+                        async_write=async_checkpoints,
                     )
                     # an improvement invalidates any early-stopping snapshot
                     checkpoints.remove_checkpoint(
-                        os.path.join(log_directory, "early_stopping")
+                        os.path.join(log_directory, "early_stopping"),
+                        async_write=async_checkpoints,
                     )
             if status["stop"]:
                 stopped_early = True
@@ -232,10 +240,14 @@ def run_training_loop(
         elif log_directory:
             # No validation set: best == latest.
             checkpoints.copy_checkpoint_version(
-                log_directory, os.path.join(log_directory, "best")
+                log_directory,
+                os.path.join(log_directory, "best"),
+                async_write=async_checkpoints,
             )
     else:
         epoch = number_of_epochs
+
+    checkpoints.wait_for_pending_writes()
 
     if not tree_finite(train_state.params):
         raise ArithmeticError("Model parameters became non-finite.")
@@ -252,6 +264,7 @@ def run_training_loop(
 def resume_start_epoch(log_directory: str) -> int:
     """Epoch to resume from: explicit metadata, not filename parsing
     (reference parses ckpt filenames at ``variational_autoencoder.py:714-719``)."""
+    checkpoints.wait_for_pending_writes()
     if checkpoints.checkpoint_exists(log_directory):
         return int(checkpoints.load_metadata(log_directory)["epoch"])
     return 0
