@@ -293,6 +293,23 @@ def train(
         models_directory=models_directory,
     )
     heading(f"Training {model.type} model: {model.name}")
+
+    intermediate_analyser = None
+    if analyses_directory:
+        def intermediate_analyser(
+            epoch, latent_values, data_set, model_name, model_type,
+            run_id, analyses_directory=analyses_directory, **_ignored,
+        ):
+            analyses.analyse_intermediate_results(
+                epoch=epoch,
+                latent_values=latent_values,
+                data_set=data_set,
+                model_name=model_name,
+                model_type=model_type,
+                run_id=run_id,
+                analyses_directory=analyses_directory,
+            )
+
     model.train(
         training_set,
         validation_set,
@@ -302,6 +319,9 @@ def train(
         run_id=run_id or None,
         new_run=bool(new_run),
         reset_training=bool(reset_training),
+        intermediate_analyser=intermediate_analyser,
+        analyses_directory=analyses_directory,
+        caches_directory=caches_directory,
     )
     if analyses_directory:
         analyses.analyse_model(

@@ -360,6 +360,63 @@ class VariationalAutoencoder:
 
         return evaluate
 
+    def _latent_values_fn(self):
+        """Jitted (params, model_state, x) → latent means for intermediate
+        analyses."""
+        config = self.config
+
+        @jax.jit
+        def latents(params, model_state, x):
+            return vae.latent_means(config, params, model_state, x)
+
+        return latents
+
+    def _make_intermediate_callback(
+        self,
+        intermediate_analyser,
+        training_set: DataSet,
+        number_of_epochs: int,
+        run_id: str | None,
+        analyses_directory: str | None,
+    ):
+        """Latent-space snapshots at log-spaced epochs (reference
+        ``variational_autoencoder.py:1479-1547``)."""
+        import jax.numpy as jnp
+        import scipy.sparse
+
+        from scvae_tpu.utils.profiling import log_spaced_indices
+
+        epochs = set(log_spaced_indices(number_of_epochs).tolist())
+        latents_fn = self._latent_values_fn()
+        values = (
+            training_set.preprocessed_values
+            if training_set.preprocessed_values is not None
+            else training_set.values
+        )
+        subset = min(training_set.number_of_examples, 2000)
+        rows = values[:subset]
+        if scipy.sparse.issparse(rows):
+            rows = rows.toarray()
+        x = jnp.asarray(np.asarray(rows, np.float32))
+
+        def callback(epoch, train_state, epoch_metrics):
+            if epoch not in epochs:
+                return
+            latent_values = np.asarray(
+                latents_fn(train_state.params, train_state.model_state, x)
+            )
+            intermediate_analyser(
+                epoch=epoch,
+                latent_values=latent_values,
+                data_set=training_set,
+                model_name=self.name,
+                model_type=self.type,
+                run_id=run_id,
+                analyses_directory=analyses_directory,
+            )
+
+        return callback
+
     def train(
         self,
         training_set: DataSet,
@@ -372,6 +429,9 @@ class VariationalAutoencoder:
         reset_training: bool = False,
         full_train_evaluation: bool = True,
         data_placement: str = "auto",
+        intermediate_analyser=None,
+        analyses_directory: str | None = None,
+        caches_directory: str | None = None,
         seed: int = 0,
         verbose: bool = True,
         epoch_callback=None,
@@ -385,6 +445,37 @@ class VariationalAutoencoder:
         if new_run and not run_id:
             run_id = naming.generate_run_id()
         log_dir = self.log_directory(run_id=run_id)
+
+        # Temporary/scratch log directory (reference's flaky-filesystem
+        # dance, ``variational_autoencoder.py:722-802, 1562-1576``): train
+        # against a scratch copy, move results back afterwards.
+        permanent_log_dir = None
+        if caches_directory:
+            import shutil
+
+            permanent_log_dir = log_dir
+            log_dir = naming.log_directory(
+                caches_directory, self.name, run_id=run_id
+            )
+            if os.path.exists(permanent_log_dir) and not os.path.exists(
+                log_dir
+            ):
+                shutil.copytree(permanent_log_dir, log_dir)
+
+        if intermediate_analyser is not None:
+            intermediate_callback = self._make_intermediate_callback(
+                intermediate_analyser,
+                training_set,
+                number_of_epochs,
+                run_id,
+                analyses_directory,
+            )
+            user_callback = epoch_callback
+
+            def epoch_callback(epoch, train_state, epoch_metrics):  # noqa: F811
+                intermediate_callback(epoch, train_state, epoch_metrics)
+                if user_callback is not None:
+                    user_callback(epoch, train_state, epoch_metrics)
 
         if reset_training and os.path.exists(log_dir):
             import shutil
@@ -509,6 +600,16 @@ class VariationalAutoencoder:
             epoch_callback=epoch_callback,
         )
         self.stopped_early = result.stopped_early
+
+        if permanent_log_dir is not None:
+            import shutil
+
+            checkpoints.wait_for_pending_writes()
+            if os.path.exists(permanent_log_dir):
+                shutil.rmtree(permanent_log_dir)
+            shutil.copytree(log_dir, permanent_log_dir)
+            shutil.rmtree(log_dir)
+
         return result
 
     # -- evaluate ----------------------------------------------------------

@@ -531,6 +531,38 @@ def loss_fn(
     return -metrics["lower_bound_weighted"], (metrics, outputs.new_state)
 
 
+def latent_means(
+    config: GMVAEConfig, params: Params, state: State, x: jax.Array
+) -> jax.Array:
+    """y-marginalised E[z|x] without the decoder (cheap latent path)."""
+    b = x.shape[0]
+    k = config.n_clusters
+    h_y, _ = networks.apply_mlp(
+        params["q_y"]["encoder"], state.get("q_y", {}), x, training=False
+    )
+    cat_spec = DISTRIBUTIONS["categorical"].parameters["logits"]
+    q_y_logits = cat_spec.constrain(
+        networks.apply_dense(params["q_y"]["logits"], h_y)
+    )
+    y_probs = jax.nn.softmax(q_y_logits, axis=-1)  # (B, K)
+
+    eye = jnp.eye(k, dtype=x.dtype)
+    posterior_spec = DISTRIBUTIONS[config.z_posterior_name]
+
+    def encode_cluster(onehot_row):
+        xy = jnp.concatenate([x, jnp.broadcast_to(onehot_row, (b, k))], -1)
+        h, _ = networks.apply_mlp(
+            params["q_z"]["encoder"], state.get("q_z", {}), xy,
+            training=False,
+        )
+        return _build_theta(posterior_spec, params["q_z"]["heads"], h)
+
+    theta = jax.vmap(encode_cluster)(eye)
+    q_z = posterior_spec.build(theta)  # (K, B, D)
+    weights = jnp.swapaxes(y_probs, 0, 1)[..., None]
+    return jnp.sum(q_z.mean() * weights, axis=0)
+
+
 def evaluation_outputs(
     config: GMVAEConfig,
     params: Params,

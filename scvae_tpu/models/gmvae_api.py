@@ -214,6 +214,15 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
 
         return evaluate
 
+    def _latent_values_fn(self):
+        config = self.config
+
+        @jax.jit
+        def latents(params, model_state, x):
+            return gmvae.latent_means(config, params, model_state, x)
+
+        return latents
+
     # -- per-epoch cluster accuracy (reference GMVAE train loop tracks
     # accuracy/superset accuracy every epoch, ``:1299-1333``) ------------
 

@@ -521,6 +521,21 @@ def elbo_terms(
     return metrics, outputs
 
 
+def latent_means(
+    config: VAEConfig, params: Params, state: State, x: jax.Array
+) -> jax.Array:
+    """q(z|x) means without running the decoder — the cheap latent path
+    for intermediate analyses and label prediction."""
+    if config.inference_architecture == "MLP":
+        h, _ = networks.apply_mlp(
+            params["encoder"], state.get("encoder", {}), x, training=False
+        )
+    else:
+        h = x
+    q_z = _build_posterior(config, params, h)
+    return q_z.mean()
+
+
 def evaluation_outputs(
     config: VAEConfig,
     params: Params,
