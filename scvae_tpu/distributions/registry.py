@@ -84,9 +84,20 @@ class ParameterSpec:
     size_fn: Callable[[int], int] = lambda m: m
 
     def constrain(self, raw: jax.Array) -> jax.Array:
-        """activation → clip to support ∓ float32 tiny (reference parity)."""
+        """activation → clip to the open support interval.
+
+        The reference clips to ``support ∓ float32 tiny``
+        (``variational_autoencoder.py:2480-2485``), but ``hi − tiny``
+        rounds back to ``hi`` in float32 whenever ``|hi| ≳ 1e-31`` — e.g.
+        ``1 − tiny == 1.0`` — so its clip fails to exclude the boundary
+        and ``log1p(−p)`` can still produce −inf.  We clip to the nearest
+        representable float32 strictly inside the interval instead
+        (documented deviation; identical except at saturation).
+        """
         lo, hi = self.support
-        return jnp.clip(self.activation(raw), lo + _TINY, hi - _TINY)
+        lo_in = float(np.nextafter(np.float32(lo), np.float32(np.inf)))
+        hi_in = float(np.nextafter(np.float32(hi), np.float32(-np.inf)))
+        return jnp.clip(self.activation(raw), lo_in, hi_in)
 
 
 @dataclasses.dataclass(frozen=True)

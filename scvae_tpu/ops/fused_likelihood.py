@@ -42,6 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 from scvae_tpu.ops.special import digamma, lgamma
 
 _TINY = float(np.finfo(np.float32).tiny)
+# Nearest representable float32 strictly inside the support bounds (the
+# reference's ``bound ∓ tiny`` rounds back to the bound — see
+# ParameterSpec.constrain).
+_P_HI = float(np.nextafter(np.float32(1.0), np.float32(0.0)))
+_L_LO = float(np.nextafter(np.float32(-10.0), np.float32(np.inf)))
+_L_HI = float(np.nextafter(np.float32(10.0), np.float32(-np.inf)))
 
 # Row / feature tile sizes.
 _TM = 256
@@ -66,35 +72,35 @@ def _round_up(x: int, m: int) -> int:
 def _poisson_ll(a_l, t):
     """log Poisson(t | exp(clip(a_l, ±10))) without the −lgamma(1+t) term
     (added by the caller; kept out of the gradient path)."""
-    log_lam = jnp.clip(a_l, -10.0 + _TINY, 10.0 - _TINY)
+    log_lam = jnp.clip(a_l, _L_LO, _L_HI)
     return t * log_lam - jnp.exp(log_lam)
 
 
 def _poisson_grad(a_l, t):
-    inside = jnp.logical_and(a_l > -10.0 + _TINY, a_l < 10.0 - _TINY)
-    log_lam = jnp.clip(a_l, -10.0 + _TINY, 10.0 - _TINY)
+    inside = jnp.logical_and(a_l > _L_LO, a_l < _L_HI)
+    log_lam = jnp.clip(a_l, _L_LO, _L_HI)
     return jnp.where(inside, t - jnp.exp(log_lam), 0.0)
 
 
 def _nb_ll(a_p, a_r, t):
     """log NB(t | p=clip(σ(a_p)), r=exp(clip(a_r, ±10))) without the
     −lgamma(1+t) constant."""
-    p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, 1.0 - _TINY)
-    log_r = jnp.clip(a_r, -10.0 + _TINY, 10.0 - _TINY)
+    p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, _P_HI)
+    log_r = jnp.clip(a_r, _L_LO, _L_HI)
     r = jnp.exp(log_r)
     return lgamma(t + r) - lgamma(r) + r * jnp.log1p(-p) + t * jnp.log(p)
 
 
 def _nb_grads(a_p, a_r, t):
-    p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, 1.0 - _TINY)
-    log_r = jnp.clip(a_r, -10.0 + _TINY, 10.0 - _TINY)
+    p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, _P_HI)
+    log_r = jnp.clip(a_r, _L_LO, _L_HI)
     r = jnp.exp(log_r)
     # d ll / d a_p through p = σ(a_p): (t/p − r/(1−p))·p(1−p) = t(1−p) − r·p
     p_raw = jax.nn.sigmoid(a_p)
-    p_inside = jnp.logical_and(p_raw > _TINY, p_raw < 1.0 - _TINY)
+    p_inside = jnp.logical_and(p_raw > _TINY, p_raw < _P_HI)
     g_p = jnp.where(p_inside, t * (1.0 - p) - r * p, 0.0)
     # d ll / d a_r through r = exp(a_r): r·(ψ(t+r) − ψ(r) + log1p(−p))
-    r_inside = jnp.logical_and(a_r > -10.0 + _TINY, a_r < 10.0 - _TINY)
+    r_inside = jnp.logical_and(a_r > _L_LO, a_r < _L_HI)
     g_r = jnp.where(
         r_inside, r * (digamma(t + r) - digamma(r) + jnp.log1p(-p)), 0.0
     )

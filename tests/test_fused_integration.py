@@ -72,9 +72,11 @@ def test_fused_gradients_match_default(rng, np_rng):
         jax.tree_util.tree_leaves(g_default),
         jax.tree_util.tree_leaves(g_fused),
     ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
-        )
+        a, b = np.asarray(a), np.asarray(b)
+        # tolerance scaled by the leaf's magnitude: large-count NB grads
+        # reach ~1e5 and f32 summation order differs between the paths
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6 * scale)
 
 
 def test_fused_flag_rejects_unsupported():

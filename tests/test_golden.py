@@ -1,0 +1,64 @@
+"""Golden regression guards: fixed-seed short trainings on the development
+set must land in known ELBO ranges (SURVEY.md §4 item 3 — the parity
+fixture; catches numerics regressions in likelihoods/objectives)."""
+
+import numpy as np
+import pytest
+
+from scvae_tpu.data import DataSet
+from scvae_tpu.models import (
+    GaussianMixtureVariationalAutoencoder,
+    VariationalAutoencoder,
+)
+
+
+@pytest.fixture(scope="module")
+def dev_split(tmp_path_factory):
+    directory = str(tmp_path_factory.mktemp("data"))
+    ds = DataSet(
+        "development", directory=directory, example_filter=["random", 1000]
+    )
+    return ds.split(method="random", fraction=0.9)
+
+
+def test_vae_nb_golden_trajectory(tmp_path, dev_split):
+    train_set, valid_set, _ = dev_split
+    model = VariationalAutoencoder(
+        feature_size=25, latent_size=2, hidden_sizes=[32],
+        reconstruction_distribution="negative binomial",
+        number_of_warm_up_epochs=5,
+        log_directory=str(tmp_path / "m"),
+    )
+    result = model.train(
+        train_set, valid_set, number_of_epochs=10, minibatch_size=100,
+        learning_rate=1e-3, data_placement="device", seed=0, verbose=False,
+    )
+    curve = result.history["validation"]["lower_bound"]
+    assert np.all(np.isfinite(curve)), curve
+    # Known-good run (2026-08-17, fixed seeds): starts ≈ −14300, dips
+    # during KL warm-up, recovers to ≈ −6000 by epoch 10.  A numerics
+    # regression (likelihood −inf, KL sign, clip bug) breaks these
+    # immediately.
+    assert -20000 < curve[0] < -5000
+    assert curve[-1] > -9000
+
+
+def test_gmvae_golden_trajectory(tmp_path, dev_split):
+    train_set, valid_set, _ = dev_split
+    model = GaussianMixtureVariationalAutoencoder(
+        feature_size=25, latent_size=2, hidden_sizes=[32],
+        reconstruction_distribution="negative binomial",
+        number_of_latent_clusters=3,
+        log_directory=str(tmp_path / "m"),
+    )
+    result = model.train(
+        train_set, valid_set, number_of_epochs=3, minibatch_size=100,
+        learning_rate=1e-3, data_placement="device", seed=0, verbose=False,
+    )
+    curve = result.history["validation"]["lower_bound"]
+    assert np.all(np.isfinite(curve)), curve
+    assert -20000 < curve[-1] < 0
+    # KL decomposition stays sane
+    kl_y = result.history["validation"].get("kl_divergence")
+    acc = result.history["validation"]["accuracy"]
+    assert all(0.0 <= a <= 1.0 for a in acc)
