@@ -241,6 +241,44 @@ def analyse_model(
                     )
                 )
     results["learning_curves"] = curves
+
+    # GMVAE centroid evolution (probabilities + PCA-projected mean paths)
+    centroid_history = checkpoints.load_centroids(
+        model.log_directory(run_id=run_id)
+    )
+    if centroid_history is not None and "learning_curves" in included:
+        results["figures"].append(
+            figures.plot_centroid_probabilities_evolution(
+                centroid_history["probabilities"],
+                directory=directory,
+            )
+        )
+        means = np.asarray(centroid_history["means"])  # (E, K, D)
+        e, k, d = means.shape
+        flat = means.reshape(-1, d)
+        if d > 2:
+            flat = decompose(flat, method="PCA", number_of_components=2)
+        paths = flat.reshape(e, k, 2)
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 6))
+        for cluster in range(k):
+            ax.plot(
+                paths[:, cluster, 0], paths[:, cluster, 1],
+                marker=".", markersize=3, linewidth=1,
+                label=f"cluster {cluster + 1}",
+            )
+            ax.scatter(
+                paths[-1, cluster, 0], paths[-1, cluster, 1],
+                marker="x", s=60,
+            )
+        ax.set_xlabel("component 1")
+        ax.set_ylabel("component 2")
+        ax.legend(frameon=False, fontsize="x-small")
+        results["figures"].append(
+            figures._save(fig, "centroid_mean_evolution", directory)
+        )
+    results["centroids"] = centroid_history
     return results
 
 

@@ -462,6 +462,8 @@ class VariationalAutoencoder:
             ):
                 shutil.copytree(permanent_log_dir, log_dir)
 
+        self._active_log_directory = log_dir
+
         if intermediate_analyser is not None:
             intermediate_callback = self._make_intermediate_callback(
                 intermediate_analyser,
@@ -500,6 +502,7 @@ class VariationalAutoencoder:
                 log_dir, train_state
             )
             checkpoints.truncate_learning_curves(log_dir, start_epoch)
+            checkpoints.truncate_centroids(log_dir, start_epoch)
             if verbose:
                 print(f"Resuming training from epoch {start_epoch}.")
 

@@ -172,6 +172,57 @@ def remove_checkpoint(directory: str, *, async_write: bool = False) -> None:
 
 
 # --------------------------------------------------------------------------
+# Centroid evolution (GMVAE per-epoch prior centroids; the reference
+# reassembles these from TF-event scalar tags, models/utilities.py:385)
+# --------------------------------------------------------------------------
+
+CENTROIDS_FILE = "centroids.json"
+
+
+def append_centroids(directory: str, centroids: dict[str, Any]) -> None:
+    """Append one epoch's centroid snapshot ({probabilities, means,
+    covariance_matrices} arrays) to the run's centroid history."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, CENTROIDS_FILE)
+    history: list = []
+    if os.path.exists(path):
+        with open(path) as f:
+            history = json.load(f)
+    history.append(
+        {k: np.asarray(v).tolist() for k, v in centroids.items()}
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(history, f)
+    os.replace(tmp, path)
+
+
+def load_centroids(directory: str) -> dict[str, np.ndarray] | None:
+    """Centroid history stacked over epochs: name → (E, …) arrays."""
+    path = os.path.join(directory, CENTROIDS_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        history = json.load(f)
+    if not history:
+        return None
+    return {
+        key: np.asarray([epoch[key] for epoch in history])
+        for key in history[0]
+    }
+
+
+def truncate_centroids(directory: str, number_of_epochs: int) -> None:
+    path = os.path.join(directory, CENTROIDS_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        history = json.load(f)
+    with open(path, "w") as f:
+        json.dump(history[:number_of_epochs], f)
+
+
+# --------------------------------------------------------------------------
 # Learning curves (JSON, replacing event-file re-parsing; SURVEY.md §1)
 # --------------------------------------------------------------------------
 

@@ -531,6 +531,32 @@ def loss_fn(
     return -metrics["lower_bound_weighted"], (metrics, outputs.new_state)
 
 
+def prior_centroids(
+    config: GMVAEConfig, params: Params
+) -> dict[str, "np.ndarray"]:
+    """Mixture probabilities and per-cluster prior z mean/covariance from
+    the current parameters — the quantities the reference logs per epoch
+    as centroid summaries (``:2871-2900``)."""
+    import numpy as np
+
+    eye = jnp.eye(config.n_clusters, dtype=jnp.float32)
+    prior_spec = DISTRIBUTIONS[config.z_prior_name]
+    theta = _build_theta(prior_spec, params["p_z"]["heads"], eye)
+    p_z = prior_spec.build(theta)
+    probabilities = jax.nn.softmax(_p_y_logits(config, params))
+    means = np.asarray(p_z.mean())  # (K, D)
+    if hasattr(p_z, "covariance"):
+        covariances = np.asarray(p_z.covariance())
+    else:
+        var = np.asarray(p_z.variance())
+        covariances = var[..., :, None] * np.eye(var.shape[-1])
+    return {
+        "probabilities": np.asarray(probabilities),
+        "means": means,
+        "covariance_matrices": covariances,
+    }
+
+
 def latent_means(
     config: GMVAEConfig, params: Params, state: State, x: jax.Array
 ) -> jax.Array:

@@ -303,6 +303,7 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
     ):
         """GMVAE training additionally tracks per-epoch cluster accuracy
         against labels when available (reference ``:1299-1333``)."""
+        accuracy_callback = None
         if track_accuracy and (
             training_set.has_labels
             or (validation_set is not None and validation_set.has_labels)
@@ -310,12 +311,25 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
             accuracy_callback = self._make_accuracy_callback(
                 {"training": training_set, "validation": validation_set}
             )
-            user_callback = epoch_callback
 
-            def epoch_callback(epoch, train_state, epoch_metrics):
+        user_callback = epoch_callback
+        config = self.config
+
+        def epoch_callback(epoch, train_state, epoch_metrics):
+            if accuracy_callback is not None:
                 accuracy_callback(epoch, train_state, epoch_metrics)
-                if user_callback is not None:
-                    user_callback(epoch, train_state, epoch_metrics)
+            # per-epoch prior-centroid snapshot (probabilities, means,
+            # covariances) for the centroid-evolution analyses
+            log_directory = getattr(self, "_active_log_directory", None)
+            if log_directory:
+                from scvae_tpu.models import checkpoints as _checkpoints
+
+                _checkpoints.append_centroids(
+                    log_directory,
+                    gmvae.prior_centroids(config, train_state.params),
+                )
+            if user_callback is not None:
+                user_callback(epoch, train_state, epoch_metrics)
 
         return super().train(
             training_set,

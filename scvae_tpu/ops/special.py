@@ -17,7 +17,12 @@ import math
 import jax.numpy as jnp
 
 _HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
-_SHIFT = 8  # push x up to ≥ 8 where the asymptotic series converges fast
+# Push x up to ≥ 3 before the asymptotic series: in float32 the result is
+# arithmetic-noise-limited (~4e-3 abs at large x for ANY shift, same as
+# jax.lax.lgamma), and at small x shift=3 already gives ~1e-6 abs —
+# deeper recurrences only add log() calls (measured: 5 fewer logs ≈
+# noticeably faster NB training step).
+_SHIFT = 3
 
 
 def lgamma(x: jnp.ndarray) -> jnp.ndarray:

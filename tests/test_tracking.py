@@ -62,3 +62,33 @@ def test_mnist_keras_loader(tmp_path):
     assert d["values"].shape == (25, 16)
     assert d["split indices"]["training"] == slice(0, 20)
     assert len(d["labels"]) == 25
+
+
+def test_gmvae_centroid_evolution(tmp_path):
+    ds = DataSet(
+        "development", directory=str(tmp_path / "d"),
+        example_filter=["random", 300],
+    )
+    train_set, valid_set, _ = ds.split(method="random", fraction=0.9)
+    model = GaussianMixtureVariationalAutoencoder(
+        feature_size=25, latent_size=3, hidden_sizes=[16],
+        number_of_latent_clusters=4,
+        log_directory=str(tmp_path / "models"),
+    )
+    model.train(
+        train_set, valid_set, number_of_epochs=2, minibatch_size=64,
+        verbose=False,
+    )
+    history = checkpoints.load_centroids(model.log_directory())
+    assert history is not None
+    assert history["probabilities"].shape == (2, 4)
+    assert history["means"].shape == (2, 4, 3)
+    assert history["covariance_matrices"].shape == (2, 4, 3, 3)
+
+    from scvae_tpu import analyses
+
+    results = analyses.analyse_model(
+        model, analyses_directory=str(tmp_path / "analyses")
+    )
+    assert results["centroids"] is not None
+    assert any("centroid" in f for f in results["figures"])
