@@ -691,8 +691,16 @@ class VariationalAutoencoder:
         f = config.feature_size
         d = config.latent_size
         p_x_mean = np.empty((n, f), np.float32)
-        p_x_stddev = np.empty((n, f), np.float32)
-        stddev_of_mean = np.empty((n, f), np.float32)
+        # Reconstruction stddevs are only kept for the stratified
+        # evaluation subset (≤25 cells) — sparse rows, like the
+        # reference's lil_matrix trick for large sets
+        # (``variational_autoencoder.py:1969-2049``).
+        import scipy.sparse as _sparse
+
+        p_x_stddev = _sparse.lil_matrix((n, f), dtype=np.float32)
+        stddev_of_mean = _sparse.lil_matrix((n, f), dtype=np.float32)
+        subset_mask = np.zeros(n, bool)
+        subset_mask[np.asarray(evaluation_subset_indices, np.int64)] = True
         q_z_mean = np.empty((n, d), np.float32)
         totals = {"lower_bound": 0.0, "reconstruction_error": 0.0,
                   "kl_divergence": 0.0}
@@ -705,10 +713,12 @@ class VariationalAutoencoder:
             )
             b = int(np.shape(batch["t"])[0])
             p_x_mean[offset:offset + b] = np.asarray(out["p_x_mean"])
-            p_x_stddev[offset:offset + b] = np.asarray(out["p_x_stddev"])
-            stddev_of_mean[offset:offset + b] = np.asarray(
-                out["stddev_of_p_x_given_z_mean"]
-            )
+            rows = np.nonzero(subset_mask[offset:offset + b])[0]
+            if rows.size:
+                p_x_stddev[offset + rows] = np.asarray(out["p_x_stddev"])[rows]
+                stddev_of_mean[offset + rows] = np.asarray(
+                    out["stddev_of_p_x_given_z_mean"]
+                )[rows]
             q_z_mean[offset:offset + b] = np.asarray(out["q_z_mean"])
             for k in totals:
                 totals[k] += float(out[k]) * b

@@ -394,8 +394,14 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
         d = config.latent_size
         k = config.n_clusters
         p_x_mean = np.empty((n, f), np.float32)
-        p_x_stddev = np.empty((n, f), np.float32)
-        stddev_of_mean = np.empty((n, f), np.float32)
+        # stddevs only for the stratified evaluation subset (sparse rows,
+        # reference's lil_matrix memory trick)
+        import scipy.sparse as _sparse
+
+        p_x_stddev = _sparse.lil_matrix((n, f), dtype=np.float32)
+        stddev_of_mean = _sparse.lil_matrix((n, f), dtype=np.float32)
+        subset_mask = np.zeros(n, bool)
+        subset_mask[np.asarray(evaluation_subset_indices, np.int64)] = True
         q_z_mean = np.empty((n, d), np.float32)
         y_probs = np.empty((n, k), np.float32)
         cluster_ids = np.empty((n,), np.int32)
@@ -415,10 +421,12 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
             )
             b = int(np.shape(batch["t"])[0])
             p_x_mean[offset:offset + b] = np.asarray(out["p_x_mean"])
-            p_x_stddev[offset:offset + b] = np.asarray(out["p_x_stddev"])
-            stddev_of_mean[offset:offset + b] = np.asarray(
-                out["stddev_of_p_x_given_z_mean"]
-            )
+            rows = np.nonzero(subset_mask[offset:offset + b])[0]
+            if rows.size:
+                p_x_stddev[offset + rows] = np.asarray(out["p_x_stddev"])[rows]
+                stddev_of_mean[offset + rows] = np.asarray(
+                    out["stddev_of_p_x_given_z_mean"]
+                )[rows]
             q_z_mean[offset:offset + b] = np.asarray(out["q_z_mean"])
             y_probs[offset:offset + b] = np.asarray(out["y_probs"])
             cluster_ids[offset:offset + b] = np.asarray(out["cluster_ids"])
