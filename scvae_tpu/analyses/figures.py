@@ -431,3 +431,183 @@ def combine_images_from_data_set(
     ax.imshow(sheet, cmap="gray")
     ax.axis("off")
     return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Cross-model figures (reference figures/cross_model.py:26-330)
+# --------------------------------------------------------------------------
+
+
+def plot_correlations(
+    correlation_sets,
+    x_key: str,
+    y_key: str,
+    x_label: str | None = None,
+    y_label: str | None = None,
+    name: str = "correlations",
+    directory: str = ".",
+) -> str:
+    """Scatter of one metric against another across model runs, one colour
+    per correlation set (reference ``figures/cross_model.py:64-88``)."""
+    if not isinstance(correlation_sets, dict):
+        correlation_sets = {"correlations": correlation_sets}
+    fig, ax = plt.subplots()
+    seaborn.despine()
+    ax.set_xlabel(x_label or x_key)
+    ax.set_ylabel(y_label or y_key)
+    for set_name, correlation_set in correlation_sets.items():
+        ax.scatter(
+            correlation_set[x_key], correlation_set[y_key], label=set_name
+        )
+    if len(correlation_sets) > 1:
+        ax.legend(loc="best")
+    return _save(fig, name, directory)
+
+
+def plot_elbo_heat_map(
+    data_frame,
+    x_label: str,
+    y_label: str,
+    z_label: str | None = None,
+    z_min: float | None = None,
+    z_max: float | None = None,
+    name: str = "ELBO_heat_map",
+    directory: str = ".",
+) -> str:
+    """Annotated heat map of a metric over two model-hyperparameter axes
+    (reference ``figures/cross_model.py:26-61``)."""
+    fig, ax = plt.subplots()
+    if z_min is None:
+        z_min = float(np.nanmin(data_frame.values))
+    if z_max is None:
+        z_max = float(np.nanmax(data_frame.values))
+    cbar_kws = {"label": z_label} if z_label else {}
+    seaborn.heatmap(
+        data_frame,
+        vmin=z_min,
+        vmax=z_max,
+        xticklabels=True,
+        yticklabels=True,
+        cbar=True,
+        cbar_kws=cbar_kws,
+        annot=True,
+        fmt=".6g",
+        square=False,
+        ax=ax,
+    )
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    return _save(fig, name, directory)
+
+
+def plot_model_metrics(
+    metrics_sets,
+    key: str,
+    label: str | None = None,
+    primary_differentiator_key: str = "model",
+    secondary_differentiator_key: str | None = None,
+    name: str = "model_metrics",
+    directory: str = ".",
+) -> str:
+    """Strip plot of one metric per model variant, grouped on the x-axis by
+    the primary differentiator and coloured by the secondary one (reference
+    ``figures/cross_model.py:91-223``).  ``metrics_sets`` is a list of dicts
+    with the metric under ``key`` plus the differentiator fields."""
+    if not isinstance(metrics_sets, list):
+        metrics_sets = [metrics_sets]
+    primary_values = sorted(
+        {str(m.get(primary_differentiator_key)) for m in metrics_sets}
+    )
+    secondary_values = sorted(
+        {str(m.get(secondary_differentiator_key)) for m in metrics_sets}
+    ) if secondary_differentiator_key else ["all"]
+    palette = seaborn.color_palette("husl", len(secondary_values))
+    colours = dict(zip(secondary_values, palette))
+
+    fig, ax = plt.subplots(figsize=(max(6, 1.3 * len(primary_values)), 4))
+    seaborn.despine()
+    seen = set()
+    for metrics_set in metrics_sets:
+        value = metrics_set.get(key)
+        if value is None:
+            continue
+        primary = str(metrics_set.get(primary_differentiator_key))
+        secondary = (
+            str(metrics_set.get(secondary_differentiator_key))
+            if secondary_differentiator_key
+            else "all"
+        )
+        x = primary_values.index(primary)
+        offset = (
+            (secondary_values.index(secondary) + 1)
+            / (len(secondary_values) + 1)
+            - 0.5
+        ) * 0.6
+        ax.scatter(
+            x + offset,
+            value,
+            color=colours[secondary],
+            label=secondary if secondary not in seen else None,
+            zorder=3,
+        )
+        seen.add(secondary)
+    ax.set_xticks(np.arange(len(primary_values)))
+    ax.set_xticklabels(primary_values, rotation=30, ha="right", fontsize=8)
+    ax.set_xlabel(primary_differentiator_key.capitalize() + "s")
+    ax.set_ylabel(label or key)
+    if secondary_differentiator_key and len(secondary_values) > 1:
+        ax.legend(loc="best", fontsize=8)
+    ax.grid(axis="y", alpha=0.3)
+    return _save(fig, name, directory)
+
+
+def plot_model_metric_sets(
+    metrics_sets,
+    x_key: str,
+    y_key: str,
+    x_label: str | None = None,
+    y_label: str | None = None,
+    primary_differentiator_key: str = "model",
+    other_method_metrics: dict | None = None,
+    name: str = "model_metric_sets",
+    directory: str = ".",
+) -> str:
+    """Scatter of metric pairs (e.g. ELBO vs ARI) per model variant, one
+    colour per primary-differentiator value, with optional horizontal
+    baselines for non-model methods (reference
+    ``figures/cross_model.py:226-330``)."""
+    if not isinstance(metrics_sets, list):
+        metrics_sets = [metrics_sets]
+    if other_method_metrics:
+        name += "-other_methods"
+    groups = sorted(
+        {str(m.get(primary_differentiator_key)) for m in metrics_sets}
+    )
+    palette = seaborn.color_palette("husl", len(groups))
+    colours = dict(zip(groups, palette))
+    markers = ["X", "s", "D", "o", "P", "^", "p", "*"]
+
+    fig, ax = plt.subplots()
+    seaborn.despine()
+    seen = set()
+    for metrics_set in metrics_sets:
+        x, y = metrics_set.get(x_key), metrics_set.get(y_key)
+        if x is None or y is None:
+            continue
+        group = str(metrics_set.get(primary_differentiator_key))
+        ax.scatter(
+            x,
+            y,
+            color=colours[group],
+            marker=markers[groups.index(group) % len(markers)],
+            label=group if group not in seen else None,
+        )
+        seen.add(group)
+    if other_method_metrics:
+        for method, value in other_method_metrics.items():
+            ax.axhline(value, linestyle="--", alpha=0.6, label=method)
+    ax.set_xlabel(x_label or x_key)
+    ax.set_ylabel(y_label or y_key)
+    if len(seen) > 1 or other_method_metrics:
+        ax.legend(loc="best", fontsize=8)
+    return _save(fig, name, directory)

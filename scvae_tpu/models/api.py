@@ -131,6 +131,7 @@ class VariationalAutoencoder:
             learning_rate=kwargs.get(
                 "learning_rate", get_default("models", "learning_rate")
             ),
+            fused_likelihood=kwargs.get("fused_likelihood"),
         )
 
         validate_model_parameters(

@@ -460,12 +460,16 @@ def elbo_terms(
         # kernel; (S, B) → (R, L, B).
         from scvae_tpu import ops
 
+        count_sum = (
+            batch["count_sum"] if config.use_count_sum_as_parameter else None
+        )
         if jax.default_backend() == "tpu":
             rows = ops.fused_log_likelihood(
                 config.reconstruction_distribution,
                 outputs.decoder_hidden,
                 params["reconstruction"],
                 t,
+                count_sum=count_sum,
             )
         else:
             rows = ops.reference_log_likelihood(
@@ -473,6 +477,7 @@ def elbo_terms(
                 outputs.decoder_hidden,
                 params["reconstruction"],
                 t,
+                count_sum=count_sum,
             )
         log_p_x_given_z = jnp.reshape(rows, (n_iw, n_mc, b))
     else:

@@ -18,12 +18,20 @@ so each dW tile stays VMEM-resident across the whole row loop while dh
 tiles accumulate across feature tiles.  Tile sizes keep the per-program
 VMEM footprint well under the ~16 MB budget.
 
-Supported likelihoods: Poisson (``log_lambda`` head) and negative binomial
-(``p``-logit + ``log_r`` heads, TFP convention).  Semantics match the
-registry: activations clipped to support ∓ float32 tiny with zero gradient
-outside the clip range (``clip_by_value`` behaviour, reference
-``:2480-2485``); NB ``log Γ`` terms via :mod:`scvae_tpu.ops.special`
-(Mosaic has no lgamma/digamma primitive).
+Supported likelihoods: Poisson (``log_lambda`` head), negative binomial
+(``p``-logit + ``log_r`` heads, TFP convention), zero-inflated Poisson /
+negative binomial (extra ``pi`` mixture head; mixture semantics from
+``distributions/zero_inflated.py``), and constrained Poisson (softmax
+``lambda`` head × per-cell count sum — the gene-axis softmax couples
+feature tiles, so its kernel carries an online logsumexp across the
+feature-tile loop).  Semantics match the registry: activations clipped to
+support ∓ float32 tiny with zero gradient outside the clip range
+(``clip_by_value`` behaviour, reference ``:2480-2485``); NB ``log Γ``
+terms via :mod:`scvae_tpu.ops.special` (Mosaic has no lgamma/digamma
+primitive).  Deviation: the fused constrained Poisson evaluates
+``t·(a − lse + log n)`` directly instead of clipping the softmax output to
+float32-tiny, so it stays finite where the registry path's softmax would
+underflow.
 
 Interface: ``fused_log_likelihood(name, h, heads, t)`` → (M,) row-summed
 log-likelihoods, differentiable w.r.t. ``h`` and every head kernel/bias.
@@ -53,7 +61,13 @@ _L_HI = float(np.nextafter(np.float32(10.0), np.float32(-np.inf)))
 _TM = 256
 _TF = 512
 
-FUSED_LIKELIHOODS = ("poisson", "negative binomial")
+FUSED_LIKELIHOODS = (
+    "poisson",
+    "negative binomial",
+    "zero-inflated poisson",
+    "zero-inflated negative binomial",
+    "constrained poisson",
+)
 
 
 def supports_fused_likelihood(name: str, k_max: int = 0) -> bool:
@@ -107,12 +121,117 @@ def _nb_grads(a_p, a_r, t):
     return g_p, g_r
 
 
+def _zip_ll(a_pi, a_l, t):
+    """log ZIP(t | π=clip(σ(a_pi)), λ=exp(clip(a_l, ±10))) without the
+    −lgamma(1+t) constant (zero at t=0, so adding it unconditionally is
+    exact; mixture semantics from distributions/zero_inflated.py)."""
+    pi = jnp.clip(jax.nn.sigmoid(a_pi), _TINY, _P_HI)
+    log_lam = jnp.clip(a_l, _L_LO, _L_HI)
+    lam = jnp.exp(log_lam)
+    log_pi = jnp.log(pi)
+    log1m_pi = jnp.log1p(-pi)
+    y_pos = log1m_pi + t * log_lam - lam
+    y_zero = jnp.logaddexp(log_pi, log1m_pi - lam)
+    return jnp.where(t > 0, y_pos, y_zero)
+
+
+def _zip_grads(a_pi, a_l, t):
+    pi_raw = jax.nn.sigmoid(a_pi)
+    pi = jnp.clip(pi_raw, _TINY, _P_HI)
+    log_lam = jnp.clip(a_l, _L_LO, _L_HI)
+    lam = jnp.exp(log_lam)
+    # t = 0 branch: S = π + (1−π)e^{−λ}; log S via logaddexp.
+    log_s = jnp.logaddexp(jnp.log(pi), jnp.log1p(-pi) - lam)
+    inv_s = jnp.exp(-log_s)
+    elam_over_s = jnp.exp(-lam - log_s)
+    g_pi_zero = pi * (1.0 - pi) * (inv_s - elam_over_s)
+    g_l_zero = -lam * (1.0 - pi) * elam_over_s
+    # t > 0 branch (dσ/da = π(1−π)): −π; t − λ.
+    g_pi_pos = -pi
+    g_l_pos = t - lam
+    pos = t > 0
+    pi_inside = jnp.logical_and(pi_raw > _TINY, pi_raw < _P_HI)
+    l_inside = jnp.logical_and(a_l > _L_LO, a_l < _L_HI)
+    g_pi = jnp.where(pi_inside, jnp.where(pos, g_pi_pos, g_pi_zero), 0.0)
+    g_l = jnp.where(l_inside, jnp.where(pos, g_l_pos, g_l_zero), 0.0)
+    return g_pi, g_l
+
+
+def _zinb_ll(a_pi, a_p, a_r, t):
+    """log ZINB(t) without the −lgamma(1+t) constant; base NB in the TFP
+    convention (successes before r failures)."""
+    pi = jnp.clip(jax.nn.sigmoid(a_pi), _TINY, _P_HI)
+    p = jnp.clip(jax.nn.sigmoid(a_p), _TINY, _P_HI)
+    log_r = jnp.clip(a_r, _L_LO, _L_HI)
+    r = jnp.exp(log_r)
+    log_pi = jnp.log(pi)
+    log1m_pi = jnp.log1p(-pi)
+    nb_pos = lgamma(t + r) - lgamma(r) + r * jnp.log1p(-p) + t * jnp.log(p)
+    y_pos = log1m_pi + nb_pos
+    # NB(0) = (1−p)^r → log = r·log1p(−p)
+    y_zero = jnp.logaddexp(log_pi, log1m_pi + r * jnp.log1p(-p))
+    return jnp.where(t > 0, y_pos, y_zero)
+
+
+def _zinb_grads(a_pi, a_p, a_r, t):
+    pi_raw = jax.nn.sigmoid(a_pi)
+    p_raw = jax.nn.sigmoid(a_p)
+    pi = jnp.clip(pi_raw, _TINY, _P_HI)
+    p = jnp.clip(p_raw, _TINY, _P_HI)
+    log_r = jnp.clip(a_r, _L_LO, _L_HI)
+    r = jnp.exp(log_r)
+    log1m_p = jnp.log1p(-p)
+    # t = 0 branch: S = π + (1−π)(1−p)^r; q0 = (1−p)^r.
+    log_q0 = r * log1m_p
+    log_s = jnp.logaddexp(jnp.log(pi), jnp.log1p(-pi) + log_q0)
+    inv_s = jnp.exp(-log_s)
+    q0_over_s = jnp.exp(log_q0 - log_s)
+    one_m_pi = 1.0 - pi
+    g_pi_zero = pi * one_m_pi * (inv_s - q0_over_s)
+    g_p_zero = -one_m_pi * r * p * q0_over_s
+    g_r_zero = one_m_pi * r * log1m_p * q0_over_s
+    # t > 0 branch.
+    g_pi_pos = -pi
+    g_p_pos = t * (1.0 - p) - r * p
+    g_r_pos = r * (digamma(t + r) - digamma(r) + log1m_p)
+    pos = t > 0
+    pi_inside = jnp.logical_and(pi_raw > _TINY, pi_raw < _P_HI)
+    p_inside = jnp.logical_and(p_raw > _TINY, p_raw < _P_HI)
+    r_inside = jnp.logical_and(a_r > _L_LO, a_r < _L_HI)
+    g_pi = jnp.where(pi_inside, jnp.where(pos, g_pi_pos, g_pi_zero), 0.0)
+    g_p = jnp.where(p_inside, jnp.where(pos, g_p_pos, g_p_zero), 0.0)
+    g_r = jnp.where(r_inside, jnp.where(pos, g_r_pos, g_r_zero), 0.0)
+    return g_pi, g_p, g_r
+
+
 # --------------------------------------------------------------------------
 # jnp reference implementations (tested against the distribution library)
 # --------------------------------------------------------------------------
 
 
-def reference_log_likelihood(name, h, heads, t):
+def _constrained_poisson_ll_rows(a, t, n):
+    """Row-summed constrained-Poisson log-likelihood from raw head
+    activations ``a`` (M, F), targets ``t`` (M, F), count sums ``n`` (M, 1).
+
+    rate = softmax_F(a)·n, so with ``lse = logsumexp_F(a)``:
+
+        Σ_f ll = Σ_f t·a − (Σ_f t)(lse − log n) − n − Σ_f lgamma(1+t)
+
+    (the Σ_f rate term collapses to n).  Equivalent to the registry's
+    softmax→Poisson composition but never underflows the softmax, so no
+    support clipping is needed.
+    """
+    lse = jax.scipy.special.logsumexp(a, axis=-1, keepdims=True)
+    sx = jnp.sum(t, axis=-1, keepdims=True)
+    rows = (
+        jnp.sum(t * a - lgamma(1.0 + t), axis=-1, keepdims=True)
+        - sx * (lse - jnp.log(n))
+        - n
+    )
+    return rows[..., 0]
+
+
+def reference_log_likelihood(name, h, heads, t, count_sum=None):
     """Unfused jnp computation of the same quantity (used for parity tests
     and as the fallback on non-TPU backends)."""
     if name == "poisson":
@@ -122,6 +241,20 @@ def reference_log_likelihood(name, h, heads, t):
         a_p = h @ heads["p"]["kernel"] + heads["p"]["bias"]
         a_r = h @ heads["log_r"]["kernel"] + heads["log_r"]["bias"]
         ll = _nb_ll(a_p, a_r, t) - lgamma(1.0 + t)
+    elif name == "zero-inflated poisson":
+        a_pi = h @ heads["pi"]["kernel"] + heads["pi"]["bias"]
+        a_l = h @ heads["log_lambda"]["kernel"] + heads["log_lambda"]["bias"]
+        ll = _zip_ll(a_pi, a_l, t) - lgamma(1.0 + t)
+    elif name == "zero-inflated negative binomial":
+        a_pi = h @ heads["pi"]["kernel"] + heads["pi"]["bias"]
+        a_p = h @ heads["p"]["kernel"] + heads["p"]["bias"]
+        a_r = h @ heads["log_r"]["kernel"] + heads["log_r"]["bias"]
+        ll = _zinb_ll(a_pi, a_p, a_r, t) - lgamma(1.0 + t)
+    elif name == "constrained poisson":
+        if count_sum is None:
+            raise ValueError("constrained poisson requires count_sum")
+        a = h @ heads["lambda"]["kernel"] + heads["lambda"]["bias"]
+        return _constrained_poisson_ll_rows(a, t, count_sum)
     else:
         raise ValueError(f"No fused likelihood for {name!r}")
     return jnp.sum(ll, axis=-1)
@@ -409,6 +542,295 @@ def _fused_poisson_bwd(residuals, g):
 _fused_poisson.defvjp(_fused_poisson_fwd, _fused_poisson_bwd)
 
 
+def _zip_ll_packed(activations, t):
+    a_pi, a_l = activations
+    return _zip_ll(a_pi, a_l, t)
+
+
+def _zip_grads_packed(activations, t):
+    a_pi, a_l = activations
+    return _zip_grads(a_pi, a_l, t)
+
+
+@jax.custom_vjp
+def _fused_zip(h, wpi, bpi, wl, bl, t):
+    return _fused_forward(_zip_ll_packed, h, (wpi, wl), (bpi, bl), t)
+
+
+def _fused_zip_fwd(h, wpi, bpi, wl, bl, t):
+    return _fused_zip(h, wpi, bpi, wl, bl, t), (h, wpi, bpi, wl, bl, t)
+
+
+def _fused_zip_bwd(residuals, g):
+    h, wpi, bpi, wl, bl, t = residuals
+    dh, (dwpi, dwl), (dbpi, dbl) = _fused_backward(
+        _zip_grads_packed, h, (wpi, wl), (bpi, bl), t, g
+    )
+    return dh, dwpi, dbpi, dwl, dbl, jnp.zeros_like(t)
+
+
+_fused_zip.defvjp(_fused_zip_fwd, _fused_zip_bwd)
+
+
+def _zinb_ll_packed(activations, t):
+    a_pi, a_p, a_r = activations
+    return _zinb_ll(a_pi, a_p, a_r, t)
+
+
+def _zinb_grads_packed(activations, t):
+    a_pi, a_p, a_r = activations
+    return _zinb_grads(a_pi, a_p, a_r, t)
+
+
+@jax.custom_vjp
+def _fused_zinb(h, wpi, bpi, wp, bp, wr, br, t):
+    return _fused_forward(
+        _zinb_ll_packed, h, (wpi, wp, wr), (bpi, bp, br), t
+    )
+
+
+def _fused_zinb_fwd(h, wpi, bpi, wp, bp, wr, br, t):
+    return (
+        _fused_zinb(h, wpi, bpi, wp, bp, wr, br, t),
+        (h, wpi, bpi, wp, bp, wr, br, t),
+    )
+
+
+def _fused_zinb_bwd(residuals, g):
+    h, wpi, bpi, wp, bp, wr, br, t = residuals
+    dh, (dwpi, dwp, dwr), (dbpi, dbp, dbr) = _fused_backward(
+        _zinb_grads_packed, h, (wpi, wp, wr), (bpi, bp, br), t, g
+    )
+    return dh, dwpi, dbpi, dwp, dbp, dwr, dbr, jnp.zeros_like(t)
+
+
+_fused_zinb.defvjp(_fused_zinb_fwd, _fused_zinb_bwd)
+
+
+# --------------------------------------------------------------------------
+# Constrained Poisson: the softmax over genes couples feature tiles, so the
+# forward kernel carries an online logsumexp across the feature-tile loop
+# (flash-attention-style running (max, sumexp) in VMEM scratch) and emits
+# the row lse for the backward, which needs only softmax(a) per tile.
+# --------------------------------------------------------------------------
+
+_NEG_BIG = -1e30  # bias padding: exp underflows, 0·pad stays finite
+
+
+def _cp_forward_kernel(h_ref, w_ref, b_ref, t_ref, n_ref, ll_ref, lse_ref,
+                       acc_ref, sx_ref, m_ref, s_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    a = (
+        jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    )
+    t = t_ref[:]
+    tile_max = jnp.max(a, axis=1, keepdims=True)
+    tile_sum = jnp.sum(jnp.exp(a - tile_max), axis=1, keepdims=True)
+    partial = jnp.sum(t * a - lgamma(1.0 + t), axis=1, keepdims=True)
+    tile_sx = jnp.sum(t, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = tile_max
+        s_ref[:] = tile_sum
+        acc_ref[:] = partial
+        sx_ref[:] = tile_sx
+
+    @pl.when(j > 0)
+    def _accumulate():
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, tile_max)
+        s_ref[:] = s_ref[:] * jnp.exp(m_old - m_new) + tile_sum * jnp.exp(
+            tile_max - m_new
+        )
+        m_ref[:] = m_new
+        acc_ref[:] += partial
+        sx_ref[:] += tile_sx
+
+    @pl.when(j == nj - 1)
+    def _finalise():
+        lse = m_ref[:] + jnp.log(s_ref[:])
+        n = n_ref[:]
+        lse_ref[:] = lse
+        ll_ref[:] = acc_ref[:] - sx_ref[:] * (lse - jnp.log(n)) - n
+
+
+def _cp_backward_kernel(g_ref, h_ref, w_ref, t_ref, lse_ref, sx_ref,
+                        dh_ref, dw_ref):
+    # grid = (F tiles, M tiles); rows minor (same layout as the generic
+    # backward: the dW tile stays resident across the row loop).  The bias
+    # rides as a constant-1 column appended to h (last row of w), so
+    # a = h_aug @ w_aug already includes it and dw_aug's last row is db.
+    # d ll / d a = t − (Σ_f t)·softmax(a) with softmax(a) = exp(a − lse).
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    h = h_ref[:]
+    a = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+    da = g_ref[:] * (t_ref[:] - sx_ref[:] * jnp.exp(a - lse_ref[:]))
+
+    dh = jnp.dot(da, w_ref[:].T, preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _init_dh():
+        dh_ref[:] = dh
+
+    @pl.when(j > 0)
+    def _acc_dh():
+        dh_ref[:] += dh
+
+    dw = jnp.dot(h.T, da, preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init_dw():
+        dw_ref[:] = dw
+
+    @pl.when(i > 0)
+    def _acc_dw():
+        dw_ref[:] += dw
+
+
+def _cp_fused_forward(h, w, b, t, n):
+    m, hidden = h.shape
+    f = t.shape[-1]
+    m_padded = _round_up(max(m, 8), _TM)
+    f_padded = _round_up(f, _TF)
+    h_p = _pad_rows(h, m_padded)
+    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    w_p = _pad_cols(w, f_padded)
+    b2 = b.reshape(1, f)
+    if f_padded != f:
+        # Padded feature columns must not reach the softmax: a huge negative
+        # bias underflows their exp while 0·a stays finite in t·a.
+        b_p = jnp.concatenate(
+            [b2, jnp.full((1, f_padded - f), _NEG_BIG, b2.dtype)], axis=1
+        )
+    else:
+        b_p = b2
+    n_p = jnp.pad(n.reshape(m, 1), ((0, m_padded - m), (0, 0)),
+                  constant_values=1.0)
+
+    ll, lse = pl.pallas_call(
+        _cp_forward_kernel,
+        grid=(m_padded // _TM, f_padded // _TF),
+        in_specs=[
+            pl.BlockSpec((_TM, hidden), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, _TF), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TF), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, _TF), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_padded, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m_padded, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_TM, 1), jnp.float32),
+            pltpu.VMEM((_TM, 1), jnp.float32),
+            pltpu.VMEM((_TM, 1), jnp.float32),
+            pltpu.VMEM((_TM, 1), jnp.float32),
+        ],
+    )(h_p, w_p, b_p, t_p, n_p)
+    return ll[:m, 0], lse[:m, 0]
+
+
+def _cp_fused_backward(h, w, b, t, lse, g):
+    m, hidden = h.shape
+    f = t.shape[-1]
+    m_padded = _round_up(max(m, 8), _TM)
+    f_padded = _round_up(f, _TF)
+    h_p = _pad_rows(h, m_padded)
+    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    w_p = _pad_cols(w, f_padded)
+    sx = jnp.sum(t, axis=-1, keepdims=True)
+    sx_p = _pad_rows(sx, m_padded)
+    g_p = _pad_rows(g.reshape(m, 1), m_padded)
+    # Fold the bias into the lse operand: softmax(a+b) = exp(a − (lse − b))
+    # would need a per-(row, col) shift, so instead keep b with w by
+    # appending a constant-1 input column to h.
+    h_aug = jnp.concatenate(
+        [h_p, jnp.ones((m_padded, 1), h_p.dtype)], axis=1
+    )
+    b_row = b.reshape(1, f)
+    if f_padded != f:
+        b_row = jnp.concatenate(
+            [b_row, jnp.full((1, f_padded - f), _NEG_BIG, b_row.dtype)],
+            axis=1,
+        )
+    w_aug = jnp.concatenate([w_p, b_row], axis=0)
+    lse_p = _pad_rows(lse.reshape(m, 1), m_padded)
+
+    dh_aug, dw_aug = pl.pallas_call(
+        _cp_backward_kernel,
+        grid=(f_padded // _TF, m_padded // _TM),
+        in_specs=[
+            pl.BlockSpec((_TM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, hidden + 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden + 1, _TF), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, _TF), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TM, hidden + 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden + 1, _TF), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m_padded, hidden + 1), jnp.float32),
+            jax.ShapeDtypeStruct((hidden + 1, f_padded), jnp.float32),
+        ],
+    )(g_p, h_aug, w_aug, t_p, lse_p, sx_p)
+    dh = dh_aug[:m, :hidden]
+    dw = dw_aug[:hidden, :f]
+    db = dw_aug[hidden, :f]
+    return dh, dw, db
+
+
+@jax.custom_vjp
+def _fused_constrained_poisson(h, w, b, t, n):
+    ll, _lse = _cp_fused_forward(h, w, b, t, n)
+    return ll
+
+
+def _fused_cp_fwd(h, w, b, t, n):
+    ll, lse = _cp_fused_forward(h, w, b, t, n)
+    return ll, (h, w, b, t, n, lse)
+
+
+def _fused_cp_bwd(residuals, g):
+    h, w, b, t, n, lse = residuals
+    dh, dw, db = _cp_fused_backward(h, w, b, t, lse, g)
+    # n is data (per-cell count sum), but its true cotangent is cheap:
+    # d ll / d n = (Σ_f t)/n − 1.
+    sx = jnp.sum(t, axis=-1, keepdims=True)
+    n2 = n.reshape(-1, 1)
+    dn = g.reshape(-1, 1) * (sx / n2 - 1.0)
+    return dh, dw, db, jnp.zeros_like(t), dn.reshape(n.shape)
+
+
+_fused_constrained_poisson.defvjp(_fused_cp_fwd, _fused_cp_bwd)
+
+
 # --------------------------------------------------------------------------
 # Public entry
 # --------------------------------------------------------------------------
@@ -419,12 +841,14 @@ def fused_log_likelihood(
     h: jax.Array,
     heads: dict[str, dict[str, jax.Array]],
     t: jax.Array,
+    count_sum: jax.Array | None = None,
 ) -> jax.Array:
     """Row-summed log p(t | heads(h)) with the fused Pallas path.
 
     ``h``: (..., H) decoder output; ``t``: (..., F) targets broadcastable
-    against the leading axes of ``h``; heads: {param: {kernel, bias}}.
-    Returns (...,) log-likelihood sums.
+    against the leading axes of ``h``; heads: {param: {kernel, bias}};
+    ``count_sum``: (..., 1) per-cell totals, required for
+    "constrained poisson".  Returns (...,) log-likelihood sums.
     """
     lead_shape = h.shape[:-1]
     hidden = h.shape[-1]
@@ -442,6 +866,33 @@ def fused_log_likelihood(
             heads["log_r"]["kernel"],
             heads["log_r"]["bias"],
             t2,
+        )
+    elif name == "zero-inflated poisson":
+        out = _fused_zip(
+            h2,
+            heads["pi"]["kernel"],
+            heads["pi"]["bias"],
+            heads["log_lambda"]["kernel"],
+            heads["log_lambda"]["bias"],
+            t2,
+        )
+    elif name == "zero-inflated negative binomial":
+        out = _fused_zinb(
+            h2,
+            heads["pi"]["kernel"],
+            heads["pi"]["bias"],
+            heads["p"]["kernel"],
+            heads["p"]["bias"],
+            heads["log_r"]["kernel"],
+            heads["log_r"]["bias"],
+            t2,
+        )
+    elif name == "constrained poisson":
+        if count_sum is None:
+            raise ValueError("constrained poisson requires count_sum")
+        n2 = jnp.broadcast_to(count_sum, lead_shape + (1,)).reshape(-1, 1)
+        out = _fused_constrained_poisson(
+            h2, heads["lambda"]["kernel"], heads["lambda"]["bias"], t2, n2
         )
     else:
         raise ValueError(f"No fused likelihood for {name!r}")

@@ -247,3 +247,124 @@ class TestOrchestrators:
         assert len(table) == 1
         assert "ELBO" in table.columns
         assert "ARI" in table.columns
+
+
+class TestCrossAnalysisAggregation:
+    """Synthetic analyses trees exercising filtering, spec parsing, and the
+    cross-model figures without training any model."""
+
+    @staticmethod
+    def _write_run(
+        base,
+        rel_path,
+        elbo,
+        ari=None,
+        epochs=5,
+    ):
+        import gzip
+        import pickle
+
+        directory = os.path.join(str(base), rel_path)
+        os.makedirs(directory, exist_ok=True)
+        metrics_dict = {
+            "evaluation": {
+                "lower_bound": [elbo],
+                "reconstruction_error": [elbo + 1.0],
+                "kl_divergence": [1.0],
+            },
+            "number of epochs trained": epochs,
+        }
+        with gzip.open(
+            os.path.join(directory, "test-metrics.pkl.gz"), "w"
+        ) as f:
+            pickle.dump(metrics_dict, f)
+        if ari is not None:
+            prediction = {
+                "clustering metric values": {
+                    "adjusted Rand index": {"clusters": ari},
+                    "adjusted mutual information": {"clusters": ari - 0.01},
+                }
+            }
+            with gzip.open(
+                os.path.join(directory, "test-prediction-kmeans.pkl.gz"), "w"
+            ) as f:
+                pickle.dump(prediction, f)
+
+    def test_spec_parsing_filtering_and_figures(self, tmp_path):
+        base = tmp_path / "analyses"
+        runs = [
+            ("dev/VAE/gaussian/poisson-l_2-h_100-mc_1-iw_1", -120.0, 0.4, 5),
+            ("dev/VAE/gaussian/poisson-l_10-h_100-mc_1-iw_1", -110.0, 0.5, 5),
+            (
+                "dev/VAE/gaussian/negative_binomial-l_2-h_100-mc_1-iw_1",
+                -100.0,
+                0.6,
+                5,
+            ),
+            (
+                "dev/VAE/gaussian/negative_binomial-l_10-h_100-mc_1-iw_1",
+                -95.0,
+                0.7,
+                5,
+            ),
+            (
+                "dev/GMVAE/gaussian_mixture-c_5/"
+                "negative_binomial-l_10-h_100-mc_1-iw_1/run_a/best",
+                -90.0,
+                0.8,
+                40,
+            ),
+        ]
+        for rel, elbo, ari, epochs in runs:
+            self._write_run(base, rel, elbo, ari, epochs)
+
+        table = cross_analyse(str(base), log_summary=True)
+        assert len(table) == 5
+        # Best ELBO first
+        assert table["ELBO"].iloc[0] == -90.0
+        # Parsed specifications
+        gm_rows = table[table["model type"] == "GMVAE"]
+        assert len(gm_rows) == 1
+        assert gm_rows["clusters"].iloc[0] == 5
+        assert gm_rows["latent size"].iloc[0] == 10
+        assert gm_rows["run"].iloc[0] == "a"
+        assert gm_rows["version"].iloc[0] == "best"
+        assert set(table["reconstruction distribution"]) == {
+            "poisson",
+            "negative_binomial",
+        }
+        cross_dir = base / "cross_analysis"
+        assert (cross_dir / "comparison.csv").exists()
+        assert (cross_dir / "summary.log").exists()
+        assert (cross_dir / "correlations.png").exists()
+        assert (cross_dir / "elbo_heat_map.png").exists()
+        assert (cross_dir / "model_metrics_elbo.png").exists()
+        assert (cross_dir / "model_metric_sets.png").exists()
+
+    def test_epoch_cut_off_and_string_filters(self, tmp_path):
+        base = tmp_path / "analyses"
+        self._write_run(
+            base, "dev/VAE/gaussian/poisson-l_2-h_100", -120.0, 0.4, epochs=5
+        )
+        self._write_run(
+            base,
+            "dev/GMVAE/gaussian_mixture-c_5/poisson-l_2-h_100",
+            -90.0,
+            0.8,
+            epochs=50,
+        )
+        table = cross_analyse(str(base), epoch_cut_off=10, log_summary=False)
+        assert len(table) == 1
+        assert table["model type"].iloc[0] == "VAE"
+
+        table = cross_analyse(
+            str(base), model_excluded_strings=["GMVAE"], log_summary=False
+        )
+        assert len(table) == 1
+
+        table = cross_analyse(
+            str(base),
+            prediction_excluded_strings=["kmeans"],
+            log_summary=False,
+        )
+        assert "ARI" not in table.columns

@@ -13,10 +13,23 @@ def _batch(np_rng, b=32, f=20):
     import jax.numpy as jnp
 
     x = np_rng.poisson(2.0, size=(b, f)).astype(np.float32)
-    return {"x": jnp.asarray(x), "t": jnp.asarray(x)}
+    return {
+        "x": jnp.asarray(x),
+        "t": jnp.asarray(x),
+        "count_sum": jnp.asarray(x.sum(axis=1, keepdims=True)) + 1.0,
+    }
 
 
-@pytest.mark.parametrize("recon", ["poisson", "negative binomial"])
+@pytest.mark.parametrize(
+    "recon",
+    [
+        "poisson",
+        "negative binomial",
+        "zero-inflated poisson",
+        "zero-inflated negative binomial",
+        "constrained poisson",
+    ],
+)
 def test_fused_objective_matches_default(rng, np_rng, recon):
     batch = _batch(np_rng)
     common = dict(
@@ -83,7 +96,16 @@ def test_fused_flag_rejects_unsupported():
     with pytest.raises(ValueError):
         config = vae.VAEConfig(
             feature_size=10,
-            reconstruction_distribution="zero-inflated poisson",
+            reconstruction_distribution="lomax",
+            fused_likelihood=True,
+        )
+        vae._fused_path_enabled(config)
+
+    with pytest.raises(ValueError):
+        config = vae.VAEConfig(
+            feature_size=10,
+            reconstruction_distribution="poisson",
+            number_of_reconstruction_classes=4,
             fused_likelihood=True,
         )
         vae._fused_path_enabled(config)

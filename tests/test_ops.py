@@ -47,23 +47,33 @@ class TestSpecialFunctions:
         )
 
 
+_HEAD_NAMES = {
+    "poisson": ("log_lambda",),
+    "negative binomial": ("p", "log_r"),
+    "zero-inflated poisson": ("pi", "log_lambda"),
+    "zero-inflated negative binomial": ("pi", "p", "log_r"),
+    "constrained poisson": ("lambda",),
+}
+
+FUSABLE = list(_HEAD_NAMES)
+
+
 def _make_case(name, m=48, hidden=16, f=24, seed=0):
     rng = np.random.RandomState(seed)
     h = jnp.asarray(rng.randn(m, hidden).astype(np.float32) * 0.5)
     t = jnp.asarray(rng.poisson(2.0, (m, f)).astype(np.float32))
-    key = jax.random.PRNGKey(seed)
-    if name == "poisson":
-        heads = {"log_lambda": networks.init_dense(key, hidden, f)}
-    else:
-        k1, k2 = jax.random.split(key)
-        heads = {
-            "p": networks.init_dense(k1, hidden, f),
-            "log_r": networks.init_dense(k2, hidden, f),
-        }
-    return h, heads, t
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(_HEAD_NAMES[name]))
+    heads = {
+        pname: networks.init_dense(key, hidden, f)
+        for pname, key in zip(_HEAD_NAMES[name], keys)
+    }
+    if name == "constrained poisson":
+        count_sum = jnp.sum(t, axis=-1, keepdims=True) + 1.0
+        return h, heads, t, count_sum
+    return h, heads, t, None
 
 
-def _distribution_log_prob_sum(name, h, heads, t):
+def _distribution_log_prob_sum(name, h, heads, t, count_sum=None):
     """Ground truth via the distribution library (same clipping)."""
     from scvae_tpu.distributions import DISTRIBUTIONS
 
@@ -74,41 +84,43 @@ def _distribution_log_prob_sum(name, h, heads, t):
         )
         for pname in heads
     }
-    dist = spec.build(theta)
+    dist = spec.build(theta, count_sum=count_sum)
     return jnp.sum(dist.log_prob(t), axis=-1)
 
 
 class TestReferenceImplementation:
-    @pytest.mark.parametrize("name", ["poisson", "negative binomial"])
+    @pytest.mark.parametrize("name", FUSABLE)
     def test_matches_distribution_library(self, name):
-        h, heads, t = _make_case(name)
-        ref = reference_log_likelihood(name, h, heads, t)
-        expected = _distribution_log_prob_sum(name, h, heads, t)
+        h, heads, t, count_sum = _make_case(name)
+        ref = reference_log_likelihood(name, h, heads, t, count_sum)
+        expected = _distribution_log_prob_sum(name, h, heads, t, count_sum)
         np.testing.assert_allclose(
             np.asarray(ref), np.asarray(expected), rtol=2e-4, atol=2e-3
         )
 
 
 class TestFusedKernels:
-    @pytest.mark.parametrize("name", ["poisson", "negative binomial"])
+    @pytest.mark.parametrize("name", FUSABLE)
     def test_forward_parity_interpret(self, name):
-        h, heads, t = _make_case(name)
+        h, heads, t, count_sum = _make_case(name)
         with pltpu.force_tpu_interpret_mode():
-            out = fused_log_likelihood(name, h, heads, t)
-        expected = reference_log_likelihood(name, h, heads, t)
+            out = fused_log_likelihood(name, h, heads, t, count_sum)
+        expected = reference_log_likelihood(name, h, heads, t, count_sum)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(expected), rtol=1e-4, atol=1e-3
         )
 
-    @pytest.mark.parametrize("name", ["poisson", "negative binomial"])
+    @pytest.mark.parametrize("name", FUSABLE)
     def test_gradient_parity_interpret(self, name):
-        h, heads, t = _make_case(name)
+        h, heads, t, count_sum = _make_case(name)
 
         def loss_fused(h, heads):
-            return jnp.sum(fused_log_likelihood(name, h, heads, t))
+            return jnp.sum(fused_log_likelihood(name, h, heads, t, count_sum))
 
         def loss_reference(h, heads):
-            return jnp.sum(reference_log_likelihood(name, h, heads, t))
+            return jnp.sum(
+                reference_log_likelihood(name, h, heads, t, count_sum)
+            )
 
         with pltpu.force_tpu_interpret_mode():
             g_fused = jax.grad(loss_fused, argnums=(0, 1))(h, heads)
@@ -121,14 +133,69 @@ class TestFusedKernels:
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
             )
 
+    @pytest.mark.parametrize(
+        "name",
+        ["zero-inflated poisson", "zero-inflated negative binomial"],
+    )
+    def test_zero_inflated_zero_branch(self, name):
+        # All-zero targets exercise the t == 0 mixture branch exclusively.
+        h, heads, t, _ = _make_case(name)
+        t = jnp.zeros_like(t)
+
+        def loss_fused(h, heads):
+            return jnp.sum(fused_log_likelihood(name, h, heads, t))
+
+        def loss_reference(h, heads):
+            return jnp.sum(_distribution_log_prob_sum(name, h, heads, t))
+
+        with pltpu.force_tpu_interpret_mode():
+            value = loss_fused(h, heads)
+            g_fused = jax.grad(loss_fused, argnums=(0, 1))(h, heads)
+        np.testing.assert_allclose(
+            float(value), float(loss_reference(h, heads)), rtol=1e-4
+        )
+        g_ref = jax.grad(loss_reference, argnums=(0, 1))(h, heads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_fused),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_constrained_poisson_count_sum_cotangent(self):
+        h, heads, t, count_sum = _make_case("constrained poisson")
+
+        def loss_fused(n):
+            return jnp.sum(
+                fused_log_likelihood("constrained poisson", h, heads, t, n)
+            )
+
+        def loss_reference(n):
+            return jnp.sum(
+                reference_log_likelihood(
+                    "constrained poisson", h, heads, t, n
+                )
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused)(count_sum)
+        g_ref = jax.grad(loss_reference)(count_sum)
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), rtol=5e-3, atol=5e-3
+        )
+
     def test_supports(self):
         assert supports_fused_likelihood("poisson")
         assert supports_fused_likelihood("negative binomial")
+        assert supports_fused_likelihood("zero-inflated poisson")
+        assert supports_fused_likelihood("zero-inflated negative binomial")
+        assert supports_fused_likelihood("constrained poisson")
         assert not supports_fused_likelihood("poisson", k_max=4)
-        assert not supports_fused_likelihood("zero-inflated poisson")
+        assert not supports_fused_likelihood("lomax")
 
     def test_leading_axes_broadcast(self):
-        h, heads, t = _make_case("poisson", m=8)
+        h, heads, t, _ = _make_case("poisson", m=8)
         h3 = jnp.broadcast_to(h, (3,) + h.shape)  # (S, B, H)
         with pltpu.force_tpu_interpret_mode():
             out = fused_log_likelihood("poisson", h3, heads, t)
