@@ -58,6 +58,7 @@ class BatchPipeline:
         seed: int = 0,
         sharding: Any = None,
         prefetch: int = 2,
+        count_dtype=None,
     ):
         if not arrays:
             raise ValueError("arrays must be non-empty")
@@ -75,6 +76,29 @@ class BatchPipeline:
         self.sharding = sharding
         self.prefetch = max(int(prefetch), 0)
         self._rng = np.random.RandomState(seed)
+        # Wire compression: ship integral count fields at the narrowest
+        # integer width (the device casts back to f32 per step —
+        # models.step.cast_batch_to_f32), halving host→HBM bytes for
+        # int16-eligible counts.
+        self._wire_dtypes: dict[str, Any] = {}
+        if count_dtype is not None:
+            candidates = (
+                count_dtype
+                if isinstance(count_dtype, (tuple, list))
+                else (count_dtype,)
+            )
+            checked_by_id: dict[int, Any] = {}
+            for name in ("x", "t"):
+                arr = arrays.get(name)
+                if arr is None:
+                    continue
+                key = id(arr)
+                if key not in checked_by_id:
+                    checked_by_id[key] = narrowest_count_dtype(
+                        arr, candidates
+                    )
+                if checked_by_id[key] is not None:
+                    self._wire_dtypes[name] = checked_by_id[key]
 
     def batches_per_epoch(self) -> int:
         if self.drop_remainder:
@@ -87,15 +111,22 @@ class BatchPipeline:
         return np.arange(self.n)
 
     def _make_batch(self, idx: np.ndarray) -> dict[str, Any]:
-        batch = {
-            name: densify_rows(arr, idx) for name, arr in self.arrays.items()
-        }
-        if self.sharding is not None:
-            batch = {
-                k: jax.device_put(v, self.sharding) for k, v in batch.items()
-            }
-        else:
-            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        # Duplicate fields referencing the same host array (x and t are
+        # usually the same matrix) are densified and transferred once.
+        placed_by_key: dict[tuple, Any] = {}
+        batch: dict[str, Any] = {}
+        for name, arr in self.arrays.items():
+            wire_dtype = self._wire_dtypes.get(name)
+            key = (id(arr), None if wire_dtype is None else np.dtype(wire_dtype).str)
+            if key not in placed_by_key:
+                dense = densify_rows(arr, idx)
+                if wire_dtype is not None:
+                    dense = dense.astype(wire_dtype)
+                if self.sharding is not None:
+                    placed_by_key[key] = jax.device_put(dense, self.sharding)
+                else:
+                    placed_by_key[key] = jax.device_put(dense)
+            batch[name] = placed_by_key[key]
         return batch
 
     def epoch(self) -> Iterator[dict[str, Any]]:
@@ -123,6 +154,33 @@ class BatchPipeline:
             yield out
 
 
+def narrowest_count_dtype(values, candidates=(np.int16, np.int32)):
+    """Narrowest candidate integer dtype that can represent ``values``
+    exactly, or ``None`` if the values are not integral counts.  Works on
+    CSR matrices without densifying (only the stored entries matter —
+    implicit zeros fit any dtype)."""
+    data = values.data if scipy.sparse.issparse(values) else np.asarray(values)
+    if data.size == 0:
+        return candidates[0]
+    if np.issubdtype(data.dtype, np.integer):
+        lo, hi = data.min(), data.max()
+    elif np.issubdtype(data.dtype, np.floating):
+        # sample-check integrality cheaply before the full pass
+        sample = data.flat[: 4096]
+        if not np.all(sample == np.round(sample)):
+            return None
+        if not np.all(data == np.round(data)):
+            return None
+        lo, hi = data.min(), data.max()
+    else:
+        return None
+    for dtype in candidates:
+        info = np.iinfo(dtype)
+        if lo >= info.min and hi <= info.max:
+            return dtype
+    return None
+
+
 def device_resident_data(
     arrays: dict[str, Any],
     *,
@@ -134,10 +192,12 @@ def device_resident_data(
     The fast path for datasets that fit in HBM: pairs with
     :func:`scvae_tpu.models.step.make_train_epoch`, which scans over
     row-index batches gathered on device — eliminating the per-step
-    host→HBM transfer entirely.  ``count_dtype`` (e.g. ``np.int16``)
-    stores count matrices compactly; they are cast back to f32 per batch
-    on device.  Duplicate fields referencing the same host array (x and t
-    are usually the same matrix) are transferred once and aliased.
+    host→HBM transfer entirely.  ``count_dtype`` stores count matrices
+    compactly (a single dtype, or a tuple of candidates tried narrowest
+    first, e.g. ``(np.int16, np.int32)``); they are cast back to f32 per
+    batch on device.  Duplicate fields referencing the same host array
+    (x and t are usually the same matrix) are transferred once and
+    aliased.
     """
     import jax
 
@@ -148,17 +208,20 @@ def device_resident_data(
         if key in placed_by_id:
             out[name] = placed_by_id[key]
             continue
+        storage_dtype = None
+        if count_dtype is not None and name in ("x", "t"):
+            candidates = (
+                count_dtype
+                if isinstance(count_dtype, (tuple, list))
+                else (count_dtype,)
+            )
+            storage_dtype = narrowest_count_dtype(arr, candidates)
         dense = arr
         if scipy.sparse.issparse(dense):
             dense = dense.toarray()
         dense = np.asarray(dense)
-        if count_dtype is not None and name in ("x", "t"):
-            if np.issubdtype(dense.dtype, np.floating) and np.all(
-                dense == np.round(dense)
-            ):
-                info = np.iinfo(count_dtype)
-                if dense.min() >= info.min and dense.max() <= info.max:
-                    dense = dense.astype(count_dtype)
+        if storage_dtype is not None and dense.dtype != storage_dtype:
+            dense = dense.astype(storage_dtype)
         if sharding is not None:
             placed = jax.device_put(dense, sharding)
         else:

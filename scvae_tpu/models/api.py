@@ -238,6 +238,17 @@ class VariationalAutoencoder:
     def number_of_epochs_trained(self, run_id: str | None = None) -> int:
         return training.resume_start_epoch(self.log_directory(run_id=run_id))
 
+    def learning_curves(
+        self, run_id: str | None = None
+    ) -> dict[str, dict[str, list[float]]]:
+        """Per-epoch training/validation metric curves for a run — the
+        durable metrics record (counterpart of the reference's
+        ``load_learning_curves`` event-file reader,
+        ``models/utilities.py:243``)."""
+        return checkpoints.load_learning_curves(
+            self.log_directory(run_id=run_id)
+        )
+
     # -- internals ---------------------------------------------------------
 
     def _init_state(self, rng: jax.Array) -> step.TrainState:
@@ -302,9 +313,14 @@ class VariationalAutoencoder:
 
     # -- train -------------------------------------------------------------
 
-    # Datasets whose dense form fits under this budget are staged in device
-    # memory once and trained with the whole-epoch scan fast path.
-    DEVICE_DATA_BUDGET_BYTES = 4 << 30
+    # Datasets whose dense device form fits under this budget are staged in
+    # device memory once and trained with the whole-epoch scan fast path
+    # (v5e HBM is 16 GiB; model/optimizer/activations for these MLP sizes
+    # are well under 1 GiB, so half the HBM is a safe data budget).
+    DEVICE_DATA_BUDGET_BYTES = 8 << 30
+    # Candidate storage dtypes for device-resident count matrices,
+    # narrowest first.
+    DEVICE_COUNT_DTYPES = (np.int16, np.int32)
 
     def _choose_device_placement(
         self, training_set: DataSet, data_placement: str
@@ -319,7 +335,20 @@ class VariationalAutoencoder:
             )
         n = training_set.number_of_examples or 0
         f = training_set.number_of_features or 0
-        return n * f * 4 <= self.DEVICE_DATA_BUDGET_BYTES
+        # Integral counts are staged at the narrowest integer width
+        # (pipeline.narrowest_count_dtype), so size the estimate the same
+        # way instead of assuming 4-byte floats.
+        from scvae_tpu.data.pipeline import narrowest_count_dtype
+
+        itemsize = 4
+        values = getattr(training_set, "preprocessed_values", None)
+        if values is None:
+            values = training_set.values
+        if values is not None:
+            dtype = narrowest_count_dtype(values, self.DEVICE_COUNT_DTYPES)
+            if dtype is not None:
+                itemsize = np.dtype(dtype).itemsize
+        return n * f * itemsize <= self.DEVICE_DATA_BUDGET_BYTES
 
     def _device_evaluator(
         self, eval_epoch, eval_step, data, n: int, batch_size: int
@@ -527,7 +556,7 @@ class VariationalAutoencoder:
             eval_epoch = step.make_eval_epoch(self._eval_fn(n_iw, n_mc))
             n_train = training_set.number_of_examples
             train_data = device_resident_data(
-                self._model_arrays(training_set), count_dtype=np.int32
+                self._model_arrays(training_set), count_dtype=self.DEVICE_COUNT_DTYPES
             )
             run_epoch = training.device_epoch_runner(
                 train_epoch, train_data, n_train, scaled_batch, seed
@@ -542,7 +571,7 @@ class VariationalAutoencoder:
             evaluate_validation = None
             if validation_set is not None:
                 validation_data = device_resident_data(
-                    self._model_arrays(validation_set), count_dtype=np.int32
+                    self._model_arrays(validation_set), count_dtype=self.DEVICE_COUNT_DTYPES
                 )
                 evaluate_validation = self._device_evaluator(
                     eval_epoch,
@@ -559,7 +588,11 @@ class VariationalAutoencoder:
                     training_set, noisy_preprocess=noisy
                 )
                 return BatchPipeline(
-                    arrays, scaled_batch, shuffle=True, seed=seed + epoch
+                    arrays, scaled_batch, shuffle=True, seed=seed + epoch,
+                    count_dtype=(
+                        None if noisy is not None
+                        else self.DEVICE_COUNT_DTYPES
+                    ),
                 )
 
             run_epoch = training.streaming_epoch_runner(
@@ -584,7 +617,8 @@ class VariationalAutoencoder:
                         eval_step,
                         train_state,
                         BatchPipeline(
-                            validation_arrays, scaled_batch, shuffle=False
+                            validation_arrays, scaled_batch, shuffle=False,
+                            count_dtype=self.DEVICE_COUNT_DTYPES,
                         ),
                         rng,
                     )

@@ -48,6 +48,19 @@ def create_train_state(
     )
 
 
+def cast_batch_to_f32(batch):
+    """Promote integer batch fields (counts shipped narrow to save wire /
+    HBM bytes) to f32 for compute; ``batch_indices`` stays integral."""
+    return {
+        k: (
+            v.astype(jnp.float32)
+            if k != "batch_indices" and jnp.issubdtype(v.dtype, jnp.integer)
+            else v
+        )
+        for k, v in batch.items()
+    }
+
+
 def make_train_step(
     loss_fn: LossFn,
     optimizer: optax.GradientTransformation,
@@ -62,6 +75,7 @@ def make_train_step(
     """
 
     def train_step(ts: TrainState, batch, rng, warm_up_weight):
+        batch = cast_batch_to_f32(batch)
         (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params, ts.model_state, batch, rng, warm_up_weight)
@@ -82,9 +96,12 @@ def make_train_step(
 
 
 def make_eval_step(eval_fn: Callable[..., dict[str, jax.Array]], *, jit: bool = True):
+    def eval_step(params, model_state, batch, rng):
+        return eval_fn(params, model_state, cast_batch_to_f32(batch), rng)
+
     if jit:
-        return jax.jit(eval_fn)
-    return eval_fn
+        return jax.jit(eval_step)
+    return eval_step
 
 
 def make_train_epoch(
@@ -112,12 +129,9 @@ def make_train_epoch(
         def body(carry, idx):
             ts, rng = carry
             rng, sub = jax.random.split(rng)
-            batch = {
-                k: jnp.take(v, idx, axis=0).astype(jnp.float32)
-                if jnp.issubdtype(v.dtype, jnp.integer)
-                else jnp.take(v, idx, axis=0)
-                for k, v in data.items()
-            }
+            batch = cast_batch_to_f32(
+                {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            )
             (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(ts.params, ts.model_state, batch, sub, warm_up_weight)
@@ -170,12 +184,9 @@ def make_eval_epoch(
     def eval_epoch(params, model_state, data, idx, rng):
         def body(rng, batch_idx):
             rng, sub = jax.random.split(rng)
-            batch = {
-                k: jnp.take(v, batch_idx, axis=0).astype(jnp.float32)
-                if jnp.issubdtype(v.dtype, jnp.integer)
-                else jnp.take(v, batch_idx, axis=0)
-                for k, v in data.items()
-            }
+            batch = cast_batch_to_f32(
+                {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
+            )
             metrics = eval_fn(params, model_state, batch, sub)
             return rng, {k: metrics[k] for k in scalar_keys}
 

@@ -70,3 +70,60 @@ def test_build_model_arrays(tmp_path):
     assert set(arrays) == {"x", "t", "count_sum", "count_sum_feature"}
     assert arrays["count_sum"].shape == (10000, 1)
     assert arrays["count_sum_feature"].max() <= 1.0
+
+
+def test_narrowest_count_dtype():
+    import scipy.sparse
+
+    from scvae_tpu.data.pipeline import narrowest_count_dtype
+
+    small = scipy.sparse.csr_matrix(
+        np.array([[0.0, 3.0], [12.0, 0.0]], np.float32)
+    )
+    assert narrowest_count_dtype(small) == np.int16
+    big = np.array([[0.0, 70000.0]], np.float32)  # > int16 range
+    assert narrowest_count_dtype(big) == np.int32
+    fractional = np.array([[0.5, 1.0]], np.float32)
+    assert narrowest_count_dtype(fractional) is None
+    huge = np.array([[3e9]], np.float64)  # > int32 range
+    assert narrowest_count_dtype(huge) is None
+    ints = np.array([[1, 2]], np.int64)
+    assert narrowest_count_dtype(ints) == np.int16
+
+
+def test_device_resident_data_uses_narrowest_dtype():
+    from scvae_tpu.data.pipeline import device_resident_data
+
+    x = np.array([[0.0, 3.0], [12.0, 0.0]], np.float32)
+    data = device_resident_data(
+        {"x": x, "t": x}, count_dtype=(np.int16, np.int32)
+    )
+    assert data["x"].dtype == np.int16
+    assert data["x"] is data["t"]  # aliased, transferred once
+    frac = np.array([[0.5, 1.0]], np.float32)
+    data = device_resident_data(
+        {"x": frac}, count_dtype=(np.int16, np.int32)
+    )
+    assert data["x"].dtype == np.float32
+
+
+def test_placement_chooser_accounts_for_count_width(tmp_path):
+    from scvae_tpu.data import DataSet
+    from scvae_tpu.models import VariationalAutoencoder
+
+    ds = DataSet("development", directory=str(tmp_path))
+    ds.load()
+    model = VariationalAutoencoder(
+        feature_size=ds.number_of_features,
+        latent_size=2,
+        hidden_sizes=[8],
+        reconstruction_distribution="poisson",
+        log_directory=str(tmp_path / "models"),
+    )
+    assert model._choose_device_placement(ds, "auto") is True
+    assert model._choose_device_placement(ds, "streaming") is False
+    # int16-eligible counts: the budget is per 2-byte element, so the
+    # dataset fits device memory up to twice the float32 row count.
+    budget = model.DEVICE_DATA_BUDGET_BYTES
+    n, f = ds.number_of_examples, ds.number_of_features
+    assert n * f * 2 <= budget
