@@ -71,6 +71,12 @@ class GMVAEConfig:
     number_of_warm_up_epochs: int = 0
     kl_weight: float = 1.0
     learning_rate: float = 1e-4
+    # Fused Pallas decoder-head+likelihood kernel for the training loss
+    # (same semantics as ``VAEConfig.fused_likelihood``): True = use
+    # (compiled kernel on TPU; jnp reference elsewhere), False/None = XLA
+    # path.  Pays off here sooner than for the VAE: the XLA path
+    # materialises (K, S, B, F) head activations per parameter.
+    fused_likelihood: bool | None = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -268,7 +274,10 @@ class GMVAEOutputs:
     q_z: Any  # posterior per cluster, batch (K, B, D)
     p_z: Any  # prior per cluster, batch (K, D)
     z: jax.Array  # samples (S, K, B, D)
-    p_x: Any  # reconstruction distribution, batch (K, S, B, F)
+    p_x: Any  # reconstruction distribution, batch (K, S, B, F); None when
+    # the caller requested the fused-likelihood path (heads are applied
+    # inside the Pallas kernel instead)
+    decoder_hidden: jax.Array  # (K, S, B, H) decoder output
     new_state: State
 
 
@@ -289,6 +298,7 @@ def forward(
     training: bool,
     n_iw: int = 1,
     n_mc: int = 1,
+    build_reconstruction: bool = True,
 ) -> GMVAEOutputs:
     x = batch["x"]
     b = x.shape[0]
@@ -379,23 +389,30 @@ def forward(
             input_dropout_keep_prob=config.dropout_keep_probability_z,
             hidden_dropout_keep_prob=config.dropout_keep_probability_h,
         )
-        theta = _build_theta(recon_spec, params["reconstruction"], dec_h)
-        return theta, dec_h, dec_state
+        return dec_h, dec_state
 
-    x_theta, dec_h, dec_states = jax.vmap(
+    dec_h, dec_states = jax.vmap(
         decode_cluster, in_axes=(1, 0), out_axes=0
     )(z, jax.random.split(rng_dec, k))
     new_state["decoder"] = _mean_over_clusters(dec_states)
 
-    count_sum = batch.get("count_sum") if config.use_count_sum_as_parameter else None
-    p_x = recon_spec.build(x_theta, count_sum=count_sum)  # batch (K, S, B, F)
-
-    if config.k_max:
-        logits = networks.apply_dense(params["categorised_logits"], dec_h)
-        logits = jnp.reshape(
-            logits, logits.shape[:-1] + (config.feature_size, config.k_max + 1)
+    p_x = None
+    if build_reconstruction:
+        x_theta = _build_theta(recon_spec, params["reconstruction"], dec_h)
+        count_sum = (
+            batch.get("count_sum")
+            if config.use_count_sum_as_parameter
+            else None
         )
-        p_x = Categorised(dist=p_x, cat=Categorical(logits=logits))
+        p_x = recon_spec.build(x_theta, count_sum=count_sum)  # (K, S, B, F)
+
+        if config.k_max:
+            logits = networks.apply_dense(params["categorised_logits"], dec_h)
+            logits = jnp.reshape(
+                logits,
+                logits.shape[:-1] + (config.feature_size, config.k_max + 1),
+            )
+            p_x = Categorised(dist=p_x, cat=Categorical(logits=logits))
 
     return GMVAEOutputs(
         q_y=q_y,
@@ -404,6 +421,7 @@ def forward(
         p_z=p_z,
         z=z,
         p_x=p_x,
+        decoder_hidden=dec_h,
         new_state=new_state,
     )
 
@@ -426,9 +444,13 @@ def elbo_terms(
     warm_up_weight: jax.Array | float = 1.0,
 ) -> tuple[dict[str, jax.Array], GMVAEOutputs]:
     """y-marginalised ELBO (reference ``:3223-3434``)."""
+    from scvae_tpu.models.vae import _fused_path_enabled
+
+    use_fused = _fused_path_enabled(config) and training
     outputs = forward(
         config, params, state, batch, rng,
         training=training, n_iw=n_iw, n_mc=n_mc,
+        build_reconstruction=not use_fused,
     )
     t = batch["t"]
     b = t.shape[0]
@@ -476,7 +498,30 @@ def elbo_terms(
     kl_divergence_z = jnp.mean(jnp.sum(kl_z_per_example, axis=0))
 
     # reconstruction: log p(x|z_k) summed over features → weighted by q(y|x)
-    log_p_x = jnp.sum(outputs.p_x.log_prob(t), axis=-1)  # (K, S, B)
+    if use_fused:
+        # Fused Pallas path: head matmuls + log_prob + feature sum in one
+        # kernel over the (K·S·B, H) flattened decoder output.
+        from scvae_tpu import ops
+
+        count_sum = (
+            batch.get("count_sum")
+            if config.use_count_sum_as_parameter
+            else None
+        )
+        fused = (
+            ops.fused_log_likelihood
+            if jax.default_backend() == "tpu"
+            else ops.reference_log_likelihood
+        )
+        log_p_x = fused(
+            config.reconstruction_distribution,
+            outputs.decoder_hidden,
+            params["reconstruction"],
+            t,
+            count_sum=count_sum,
+        )  # (K, S, B)
+    else:
+        log_p_x = jnp.sum(outputs.p_x.log_prob(t), axis=-1)  # (K, S, B)
     recon_per_example = jnp.mean(log_p_x, axis=1) * y_probs_k  # (K, B)
     reconstruction_error = jnp.mean(jnp.sum(recon_per_example, axis=0))
 

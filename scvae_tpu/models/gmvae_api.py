@@ -142,6 +142,7 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
             learning_rate=kwargs.get(
                 "learning_rate", get_default("models", "learning_rate")
             ),
+            fused_likelihood=kwargs.get("fused_likelihood"),
         )
 
         self.feature_size = feature_size

@@ -123,6 +123,89 @@ def test_evaluation_path_unaffected_by_fused_flag(rng, np_rng):
     assert out["p_x_mean"].shape == (32, 20)
 
 
+@pytest.mark.parametrize(
+    "recon",
+    [
+        "poisson",
+        "negative binomial",
+        "constrained poisson",
+    ],
+)
+def test_gmvae_fused_objective_matches_default(rng, np_rng, recon):
+    from scvae_tpu.models import gmvae
+
+    batch = _batch(np_rng)
+    common = dict(
+        feature_size=20, latent_size=3, hidden_sizes=(16,),
+        number_of_latent_clusters=4,
+        reconstruction_distribution=recon, minibatch_normalisation=False,
+    )
+    config_default = gmvae.GMVAEConfig(fused_likelihood=False, **common)
+    config_fused = gmvae.GMVAEConfig(fused_likelihood=True, **common)
+    params, state = gmvae.init(config_default, rng)
+
+    m_default, _ = gmvae.elbo_terms(
+        config_default, params, state, batch, rng, training=True
+    )
+    m_fused, _ = gmvae.elbo_terms(
+        config_fused, params, state, batch, rng, training=True
+    )
+    for key in ("lower_bound", "reconstruction_error", "kl_divergence"):
+        np.testing.assert_allclose(
+            float(m_fused[key]), float(m_default[key]), rtol=2e-5
+        )
+
+
+def test_gmvae_fused_gradients_match_default(rng, np_rng):
+    from scvae_tpu.models import gmvae
+
+    batch = _batch(np_rng)
+    common = dict(
+        feature_size=20, latent_size=3, hidden_sizes=(16,),
+        number_of_latent_clusters=4,
+        reconstruction_distribution="negative binomial",
+        minibatch_normalisation=False,
+    )
+    config_default = gmvae.GMVAEConfig(fused_likelihood=False, **common)
+    config_fused = gmvae.GMVAEConfig(fused_likelihood=True, **common)
+    params, state = gmvae.init(config_default, rng)
+
+    def make_loss(config):
+        def loss(params):
+            value, _ = gmvae.loss_fn(
+                config, params, state, batch, jax.random.PRNGKey(7),
+                warm_up_weight=1.0,
+            )
+            return value
+
+        return loss
+
+    g_default = jax.grad(make_loss(config_default))(params)
+    g_fused = jax.grad(make_loss(config_fused))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_default),
+        jax.tree_util.tree_leaves(g_fused),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6 * scale)
+
+
+def test_gmvae_evaluation_path_unaffected_by_fused_flag(rng, np_rng):
+    from scvae_tpu.models import gmvae
+
+    batch = _batch(np_rng)
+    config = gmvae.GMVAEConfig(
+        feature_size=20, latent_size=3, hidden_sizes=(16,),
+        number_of_latent_clusters=4,
+        reconstruction_distribution="negative binomial",
+        minibatch_normalisation=False, fused_likelihood=True,
+    )
+    params, state = gmvae.init(config, rng)
+    out = gmvae.evaluation_outputs(config, params, state, batch, rng)
+    assert out["p_x_mean"].shape == (32, 20)
+
+
 class TestProfiling:
     def test_log_spaced_indices(self):
         idx = log_spaced_indices(100)
