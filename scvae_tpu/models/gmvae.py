@@ -330,25 +330,57 @@ def forward(
     eye = jnp.eye(k, dtype=x.dtype)
     posterior_spec = DISTRIBUTIONS[config.z_posterior_name]
 
-    def encode_cluster(onehot_row: jax.Array, drop_rng: jax.Array):
-        xy = jnp.concatenate(
-            [x, jnp.broadcast_to(onehot_row, (b, k))], axis=-1
-        )
-        h, enc_state = networks.apply_mlp(
-            params["q_z"]["encoder"],
-            state.get("q_z", {}),
-            xy,
-            training=training,
-            rng=drop_rng,
-            input_dropout_keep_prob=config.dropout_keep_probability_x,
-            hidden_dropout_keep_prob=config.dropout_keep_probability_h,
-        )
-        theta = _build_theta(posterior_spec, params["q_z"]["heads"], h)
-        return theta, enc_state
-
-    q_z_theta, q_z_states = jax.vmap(encode_cluster)(
-        eye, jax.random.split(rng_qz_drop, k)
+    input_dropout_active = (
+        training and config.dropout_keep_probability_x < 1.0
     )
+    if not input_dropout_active:
+        # Split the first layer: concat(x, y_k) @ W == x @ W[:F] + W[F+k],
+        # so the dominant (B, F)·(F, H) matmul runs once instead of K
+        # times (exact; the reference's K reuse=True subgraphs recompute
+        # it, ``gaussian_mixture_variational_autoencoder.py:2936-3007``).
+        layer0 = params["q_z"]["encoder"]["layers"][0]
+        f = x.shape[-1]
+        base_pre0 = (
+            jnp.matmul(x, layer0["kernel"][:f]) + layer0["bias"]
+        )  # (B, H)
+        onehot_rows = layer0["kernel"][f:]  # (K, H)
+
+        def encode_cluster(y_row: jax.Array, drop_rng: jax.Array):
+            h, enc_state = networks.apply_mlp_from_first_preactivation(
+                params["q_z"]["encoder"],
+                state.get("q_z", {}),
+                base_pre0 + y_row,
+                training=training,
+                rng=drop_rng,
+                hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+            )
+            theta = _build_theta(posterior_spec, params["q_z"]["heads"], h)
+            return theta, enc_state
+
+        q_z_theta, q_z_states = jax.vmap(encode_cluster)(
+            onehot_rows, jax.random.split(rng_qz_drop, k)
+        )
+    else:
+
+        def encode_cluster(onehot_row: jax.Array, drop_rng: jax.Array):
+            xy = jnp.concatenate(
+                [x, jnp.broadcast_to(onehot_row, (b, k))], axis=-1
+            )
+            h, enc_state = networks.apply_mlp(
+                params["q_z"]["encoder"],
+                state.get("q_z", {}),
+                xy,
+                training=training,
+                rng=drop_rng,
+                input_dropout_keep_prob=config.dropout_keep_probability_x,
+                hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+            )
+            theta = _build_theta(posterior_spec, params["q_z"]["heads"], h)
+            return theta, enc_state
+
+        q_z_theta, q_z_states = jax.vmap(encode_cluster)(
+            eye, jax.random.split(rng_qz_drop, k)
+        )
     new_state["q_z"] = _mean_over_clusters(q_z_states)
     q_z = posterior_spec.build(q_z_theta)  # batch (K, B, D)
 

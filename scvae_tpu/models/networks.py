@@ -149,3 +149,52 @@ def apply_mlp(
     if use_bn:
         new_state["batch_norm"] = new_bn_states
     return h, new_state
+
+
+def apply_mlp_from_first_preactivation(
+    params: Params,
+    state: State,
+    pre0: jax.Array,
+    *,
+    training: bool,
+    rng: jax.Array | None = None,
+    activation: Callable[[jax.Array], jax.Array] = jax.nn.relu,
+    hidden_dropout_keep_prob: float = 1.0,
+) -> tuple[jax.Array, State]:
+    """Finish an MLP given the FIRST layer's pre-activation ``pre0``.
+
+    Used for inputs of the form concat(x, c) where ``x`` is shared across a
+    vmapped axis and only ``c`` varies (the GMVAE's per-cluster one-hot
+    codes):  concat(x, c) @ W  ==  x @ W[:F] + c @ W[F:],  so the caller
+    computes the expensive x-part once and passes
+    ``pre0 = x @ W[:F] + b + W[F + k]`` per cluster — exactly equal to the
+    plain path, with the dominant (B, F)·(F, H) matmul done once instead of
+    K times.  Not applicable when input dropout is active (the mask on x
+    must be drawn per cluster); callers fall back to :func:`apply_mlp`.
+    """
+    use_bn = "batch_norm" in params
+    new_bn_states = []
+    h = pre0
+    for i, layer in enumerate(params["layers"]):
+        if i > 0:
+            if (
+                training
+                and rng is not None
+                and hidden_dropout_keep_prob < 1.0
+            ):
+                rng, sub = jax.random.split(rng)
+                h = dropout(sub, h, hidden_dropout_keep_prob)
+            h = apply_dense(layer, h)
+        if use_bn:
+            h, bn_s = apply_batch_norm(
+                params["batch_norm"][i],
+                state["batch_norm"][i],
+                h,
+                training=training,
+            )
+            new_bn_states.append(bn_s)
+        h = activation(h)
+    new_state: State = {}
+    if use_bn:
+        new_state["batch_norm"] = new_bn_states
+    return h, new_state
