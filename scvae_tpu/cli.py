@@ -244,6 +244,8 @@ def train(
     models_directory=None,
     caches_directory=None,
     analyses_directory=None,
+    number_of_devices=None,
+    model_parallelism=None,
     **_ignored,
 ):
     """Train subcommand (reference ``cli.py:111-264``)."""
@@ -322,6 +324,8 @@ def train(
         intermediate_analyser=intermediate_analyser,
         analyses_directory=analyses_directory,
         caches_directory=caches_directory,
+        number_of_devices=number_of_devices,
+        model_parallelism=model_parallelism,
     )
     if analyses_directory:
         analyses.analyse_model(
@@ -376,6 +380,8 @@ def evaluate(
     highlight_feature_indices=None,
     export_options=None,
     analyses_directory=None,
+    number_of_devices=None,
+    model_parallelism=None,
     **_ignored,
 ):
     """Evaluate subcommand (reference ``cli.py:267-566``): restores the
@@ -479,6 +485,8 @@ def evaluate(
             use_best_model=use_best,
             use_early_stopping_model=use_early,
             output_versions="all",
+            number_of_devices=number_of_devices,
+            model_parallelism=model_parallelism,
         )
         transformed, reconstructed, latent = outputs
 
@@ -511,6 +519,8 @@ def evaluate(
                 use_early_stopping_model=use_early,
                 output_versions="latent",
                 verbose=False,
+                number_of_devices=number_of_devices,
+                model_parallelism=model_parallelism,
             )
             latent_evaluation = latent["z"] if isinstance(latent, dict) else latent
             training_latent = (
@@ -846,6 +856,20 @@ def build_parser() -> argparse.ArgumentParser:
             "--minibatch-size", "-B", metavar="SIZE", type=int,
             default=_parse_default(defaults["models"]["minibatch_size"]),
             help="minibatch size for stochastic optimisation algorithm",
+        )
+        subparser.add_argument(
+            "--number-of-devices", metavar="N", type=int, default=None,
+            help=(
+                "number of accelerator devices for the (data, model) mesh"
+                " (default: single device; greenfield vs the reference)"
+            ),
+        )
+        subparser.add_argument(
+            "--model-parallelism", metavar="M", type=int, default=None,
+            help=(
+                "tensor-parallel factor sharding the gene-axis"
+                " reconstruction heads over the model mesh axis"
+            ),
         )
         subparser.add_argument(
             "--run-id", metavar="ID", type=str,

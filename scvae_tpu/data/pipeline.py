@@ -74,6 +74,23 @@ class BatchPipeline:
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self.sharding = sharding
+        # Batches whose row count doesn't divide the data axis can't be
+        # row-sharded; they fall back to replicated placement (every chip
+        # computes the whole remainder batch — correct, briefly wasteful).
+        self._replicated_sharding = None
+        self._data_shards = 1
+        if sharding is not None and hasattr(sharding, "mesh"):
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicated_sharding = NamedSharding(
+                sharding.mesh, PartitionSpec()
+            )
+            spec = getattr(sharding, "spec", None)
+            if spec and spec[0] is not None:
+                axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+                self._data_shards = int(
+                    np.prod([sharding.mesh.shape[a] for a in axes])
+                )
         self.prefetch = max(int(prefetch), 0)
         self._rng = np.random.RandomState(seed)
         # Wire compression: ship integral count fields at the narrowest
@@ -123,7 +140,10 @@ class BatchPipeline:
                 if wire_dtype is not None:
                     dense = dense.astype(wire_dtype)
                 if self.sharding is not None:
-                    placed_by_key[key] = jax.device_put(dense, self.sharding)
+                    sharding = self.sharding
+                    if len(idx) % self._data_shards != 0:
+                        sharding = self._replicated_sharding
+                    placed_by_key[key] = jax.device_put(dense, sharding)
                 else:
                     placed_by_key[key] = jax.device_put(dense)
             batch[name] = placed_by_key[key]
@@ -186,6 +206,7 @@ def device_resident_data(
     *,
     count_dtype=None,
     sharding: Any = None,
+    pad_rows_to_multiple_of: int = 1,
 ) -> dict[str, Any]:
     """Densify a whole data subset and place it in device memory once.
 
@@ -197,7 +218,9 @@ def device_resident_data(
     first, e.g. ``(np.int16, np.int32)``); they are cast back to f32 per
     batch on device.  Duplicate fields referencing the same host array
     (x and t are usually the same matrix) are transferred once and
-    aliased.
+    aliased.  ``pad_rows_to_multiple_of`` zero-pads the row axis so the
+    array can be row-sharded over a data-parallel mesh (callers only ever
+    gather real row indices, so padding rows are inert).
     """
     import jax
 
@@ -222,6 +245,13 @@ def device_resident_data(
         dense = np.asarray(dense)
         if storage_dtype is not None and dense.dtype != storage_dtype:
             dense = dense.astype(storage_dtype)
+        multiple = max(int(pad_rows_to_multiple_of), 1)
+        remainder = dense.shape[0] % multiple
+        if remainder:
+            pad = np.zeros(
+                (multiple - remainder,) + dense.shape[1:], dense.dtype
+            )
+            dense = np.concatenate([dense, pad], axis=0)
         if sharding is not None:
             placed = jax.device_put(dense, sharding)
         else:

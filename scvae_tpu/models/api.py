@@ -149,7 +149,9 @@ class VariationalAutoencoder:
         self.hidden_sizes = tuple(hidden_sizes)
         self.base_log_directory = log_directory
         self.stopped_early = None
-        self._mesh_context = kwargs.get("mesh_context")
+        # Default device mesh for train/evaluate (overridable per call).
+        self.mesh = kwargs.get("mesh")
+        self._active_mesh = None
 
     # -- identity ----------------------------------------------------------
 
@@ -351,9 +353,16 @@ class VariationalAutoencoder:
         return n * f * itemsize <= self.DEVICE_DATA_BUDGET_BYTES
 
     def _device_evaluator(
-        self, eval_epoch, eval_step, data, n: int, batch_size: int
+        self, eval_epoch, eval_step, data, n: int, batch_size: int,
+        mesh=None,
     ):
-        """Scan-based full-pass evaluation with a remainder batch."""
+        """Scan-based full-pass evaluation with a remainder batch.
+
+        ``n`` is the real row count; under a mesh the device arrays may
+        carry zero-padded rows (sharding divisibility), which the
+        remainder slice must exclude — and the remainder batch is placed
+        replicated so every chip computes it identically.
+        """
         import jax.numpy as jnp
 
         idx = step.sequential_batches(n, batch_size)
@@ -372,12 +381,18 @@ class VariationalAutoencoder:
             if remainder:
                 batch = {
                     k: (
-                        v[n_full:].astype(jnp.float32)
+                        v[n_full:n].astype(jnp.float32)
                         if jnp.issubdtype(v.dtype, jnp.integer)
-                        else v[n_full:]
+                        else v[n_full:n]
                     )
                     for k, v in data.items()
                 }
+                if mesh is not None:
+                    from scvae_tpu.parallel import replicate_to_mesh
+
+                    batch = replicate_to_mesh(
+                        {k: np.asarray(v) for k, v in batch.items()}, mesh
+                    )
                 rng, sub = jax.random.split(rng)
                 m2 = eval_step(
                     train_state.params, train_state.model_state, batch, sub
@@ -427,13 +442,19 @@ class VariationalAutoencoder:
         rows = values[:subset]
         if scipy.sparse.issparse(rows):
             rows = rows.toarray()
-        x = jnp.asarray(np.asarray(rows, np.float32))
+        x = np.asarray(rows, np.float32)
 
         def callback(epoch, train_state, epoch_metrics):
             if epoch not in epochs:
                 return
+            if self._active_mesh is not None:
+                from scvae_tpu.parallel import replicate_to_mesh
+
+                x_dev = replicate_to_mesh(x, self._active_mesh)
+            else:
+                x_dev = jnp.asarray(x)
             latent_values = np.asarray(
-                latents_fn(train_state.params, train_state.model_state, x)
+                latents_fn(train_state.params, train_state.model_state, x_dev)
             )
             intermediate_analyser(
                 epoch=epoch,
@@ -465,6 +486,10 @@ class VariationalAutoencoder:
         seed: int = 0,
         verbose: bool = True,
         epoch_callback=None,
+        mesh=None,
+        devices=None,
+        number_of_devices: int | None = None,
+        model_parallelism: int | None = None,
     ) -> training.TrainingResult:
         if number_of_epochs is None:
             number_of_epochs = get_default("models", "number_of_epochs")
@@ -475,6 +500,20 @@ class VariationalAutoencoder:
         if new_run and not run_id:
             run_id = naming.generate_run_id()
         log_dir = self.log_directory(run_id=run_id)
+
+        # Multi-device: resolve the (data, model) mesh from the arguments
+        # (or the constructor-level default) — DP shards cells, TP shards
+        # the gene-axis reconstruction heads (SURVEY.md §2.9, §7 Phase 4).
+        from scvae_tpu import parallel
+
+        mesh = parallel.resolve_mesh(
+            mesh if mesh is not None else self.mesh,
+            devices=devices,
+            number_of_devices=number_of_devices,
+            model_parallelism=model_parallelism,
+        )
+        self._active_mesh = mesh
+        data_shards = mesh.shape["data"] if mesh is not None else 1
 
         # Temporary/scratch log directory (reference's flaky-filesystem
         # dance, ``variational_autoencoder.py:722-802, 1562-1576``): train
@@ -517,6 +556,11 @@ class VariationalAutoencoder:
         n_iw = self.number_of_importance_samples["training"]
         n_mc = self.number_of_monte_carlo_samples["training"]
         scaled_batch = self._scaled_minibatch_size(minibatch_size, "training")
+        if data_shards > 1:
+            # Batch rows must divide the data axis to be row-sharded.
+            scaled_batch = max(
+                data_shards, (scaled_batch // data_shards) * data_shards
+            )
 
         rng = jax.random.PRNGKey(seed)
         rng, init_rng = jax.random.split(rng)
@@ -536,6 +580,11 @@ class VariationalAutoencoder:
             if verbose:
                 print(f"Resuming training from epoch {start_epoch}.")
 
+        batch_constraint = None
+        if mesh is not None:
+            train_state = parallel.shard_train_state(train_state, mesh)
+            batch_constraint = parallel.batch_sharding(mesh)
+
         loss_fn = self._loss_fn(n_iw, n_mc)
         eval_step = step.make_eval_step(self._eval_fn(n_iw, n_mc))
 
@@ -552,18 +601,29 @@ class VariationalAutoencoder:
         if use_device_data:
             from scvae_tpu.data.pipeline import device_resident_data
 
-            train_epoch = step.make_train_epoch(loss_fn, optimizer)
-            eval_epoch = step.make_eval_epoch(self._eval_fn(n_iw, n_mc))
+            data_sharding = (
+                parallel.batch_sharding(mesh) if mesh is not None else None
+            )
+            train_epoch = step.make_train_epoch(
+                loss_fn, optimizer, batch_constraint=batch_constraint
+            )
+            eval_epoch = step.make_eval_epoch(
+                self._eval_fn(n_iw, n_mc), batch_constraint=batch_constraint
+            )
             n_train = training_set.number_of_examples
             train_data = device_resident_data(
-                self._model_arrays(training_set), count_dtype=self.DEVICE_COUNT_DTYPES
+                self._model_arrays(training_set),
+                count_dtype=self.DEVICE_COUNT_DTYPES,
+                sharding=data_sharding,
+                pad_rows_to_multiple_of=data_shards,
             )
             run_epoch = training.device_epoch_runner(
                 train_epoch, train_data, n_train, scaled_batch, seed
             )
             evaluate_training = (
                 self._device_evaluator(
-                    eval_epoch, eval_step, train_data, n_train, scaled_batch
+                    eval_epoch, eval_step, train_data, n_train, scaled_batch,
+                    mesh=mesh,
                 )
                 if full_train_evaluation
                 else None
@@ -571,7 +631,10 @@ class VariationalAutoencoder:
             evaluate_validation = None
             if validation_set is not None:
                 validation_data = device_resident_data(
-                    self._model_arrays(validation_set), count_dtype=self.DEVICE_COUNT_DTYPES
+                    self._model_arrays(validation_set),
+                    count_dtype=self.DEVICE_COUNT_DTYPES,
+                    sharding=data_sharding,
+                    pad_rows_to_multiple_of=data_shards,
                 )
                 evaluate_validation = self._device_evaluator(
                     eval_epoch,
@@ -579,9 +642,13 @@ class VariationalAutoencoder:
                     validation_data,
                     validation_set.number_of_examples,
                     scaled_batch,
+                    mesh=mesh,
                 )
         else:
             train_step = step.make_train_step(loss_fn, optimizer, donate=False)
+            pipeline_sharding = (
+                parallel.batch_sharding(mesh) if mesh is not None else None
+            )
 
             def make_training_pipeline(epoch: int):
                 arrays = self._model_arrays(
@@ -589,6 +656,7 @@ class VariationalAutoencoder:
                 )
                 return BatchPipeline(
                     arrays, scaled_batch, shuffle=True, seed=seed + epoch,
+                    sharding=pipeline_sharding,
                     count_dtype=(
                         None if noisy is not None
                         else self.DEVICE_COUNT_DTYPES
@@ -618,6 +686,7 @@ class VariationalAutoencoder:
                         train_state,
                         BatchPipeline(
                             validation_arrays, scaled_batch, shuffle=False,
+                            sharding=pipeline_sharding,
                             count_dtype=self.DEVICE_COUNT_DTYPES,
                         ),
                         rng,
@@ -683,6 +752,10 @@ class VariationalAutoencoder:
         evaluation_subset_indices=None,
         seed: int = 0,
         verbose: bool = True,
+        mesh=None,
+        devices=None,
+        number_of_devices: int | None = None,
+        model_parallelism: int | None = None,
     ):
         """Batched evaluation; returns (transformed, reconstructed, latent)
         ``DataSet`` objects per ``output_versions``
@@ -698,11 +771,29 @@ class VariationalAutoencoder:
         n_mc = self.number_of_monte_carlo_samples["evaluation"]
         scaled_batch = self._scaled_minibatch_size(minibatch_size, "evaluation")
 
+        from scvae_tpu import parallel
+
+        mesh = parallel.resolve_mesh(
+            mesh if mesh is not None else self.mesh,
+            devices=devices,
+            number_of_devices=number_of_devices,
+            model_parallelism=model_parallelism,
+        )
+        eval_sharding = None
+        if mesh is not None:
+            data_shards = mesh.shape["data"]
+            scaled_batch = max(
+                data_shards, (scaled_batch // data_shards) * data_shards
+            )
+            eval_sharding = parallel.batch_sharding(mesh)
+
         rng = jax.random.PRNGKey(seed)
         rng, restore_rng = jax.random.split(rng)
         train_state, _ = self._restore(
             run_id, use_early_stopping_model, use_best_model, restore_rng
         )
+        if mesh is not None:
+            train_state = parallel.shard_train_state(train_state, mesh)
 
         if evaluation_subset_indices is None:
             evaluation_subset_indices = indices_for_evaluation_subset(
@@ -719,7 +810,8 @@ class VariationalAutoencoder:
 
         arrays = self._model_arrays(evaluation_set)
         pipeline = BatchPipeline(
-            arrays, scaled_batch, shuffle=False, prefetch=2
+            arrays, scaled_batch, shuffle=False, prefetch=2,
+            sharding=eval_sharding,
         )
 
         n = evaluation_set.number_of_examples

@@ -150,6 +150,8 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
         self.hidden_sizes = tuple(hidden_sizes)
         self.base_log_directory = log_directory
         self.stopped_early = None
+        self.mesh = kwargs.get("mesh")
+        self._active_mesh = None
 
     # -- identity ----------------------------------------------------------
 
@@ -268,16 +270,22 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
                 if n in to_id
             ]
             prepared[kind] = (
-                jnp.asarray(np.asarray(values, np.float32)),
+                np.asarray(values, np.float32),
                 label_ids,
                 excluded,
             )
 
         def callback(epoch, train_state, epoch_metrics):
             for kind, (x, label_ids, excluded) in prepared.items():
+                if self._active_mesh is not None:
+                    from scvae_tpu.parallel import replicate_to_mesh
+
+                    x_dev = replicate_to_mesh(x, self._active_mesh)
+                else:
+                    x_dev = jnp.asarray(x)
                 ids = np.asarray(
                     cluster_ids_fn(
-                        train_state.params, train_state.model_state, x
+                        train_state.params, train_state.model_state, x_dev
                     )
                 )
                 predicted = map_cluster_ids_to_label_ids(
@@ -352,6 +360,10 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
         evaluation_subset_indices=None,
         seed: int = 0,
         verbose: bool = True,
+        mesh=None,
+        devices=None,
+        number_of_devices: int | None = None,
+        model_parallelism: int | None = None,
     ):
         """Batched evaluation; returns DataSets per ``output_versions``
         (``transformed``/``reconstructed``/``latent``), where ``latent``
@@ -368,11 +380,29 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
         n_mc = self.number_of_monte_carlo_samples["evaluation"]
         scaled_batch = self._scaled_minibatch_size(minibatch_size, "evaluation")
 
+        from scvae_tpu import parallel
+
+        mesh = parallel.resolve_mesh(
+            mesh if mesh is not None else self.mesh,
+            devices=devices,
+            number_of_devices=number_of_devices,
+            model_parallelism=model_parallelism,
+        )
+        eval_sharding = None
+        if mesh is not None:
+            data_shards = mesh.shape["data"]
+            scaled_batch = max(
+                data_shards, (scaled_batch // data_shards) * data_shards
+            )
+            eval_sharding = parallel.batch_sharding(mesh)
+
         rng = jax.random.PRNGKey(seed)
         rng, restore_rng = jax.random.split(rng)
         train_state, _ = self._restore(
             run_id, use_early_stopping_model, use_best_model, restore_rng
         )
+        if mesh is not None:
+            train_state = parallel.shard_train_state(train_state, mesh)
 
         if evaluation_subset_indices is None:
             evaluation_subset_indices = indices_for_evaluation_subset(
@@ -388,7 +418,9 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
             )
 
         arrays = self._model_arrays(evaluation_set)
-        pipeline = BatchPipeline(arrays, scaled_batch, shuffle=False)
+        pipeline = BatchPipeline(
+            arrays, scaled_batch, shuffle=False, sharding=eval_sharding
+        )
 
         n = evaluation_set.number_of_examples
         f = config.feature_size

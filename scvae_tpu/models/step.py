@@ -109,6 +109,7 @@ def make_train_epoch(
     optimizer: optax.GradientTransformation,
     *,
     jit: bool = True,
+    batch_constraint: Any = None,
 ):
     """Whole-epoch training as one ``lax.scan`` over device-resident data.
 
@@ -132,6 +133,13 @@ def make_train_epoch(
             batch = cast_batch_to_f32(
                 {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
             )
+            if batch_constraint is not None:
+                # Re-shard the gathered batch rows over the data axis so
+                # the step computes data-parallel (the gather itself may
+                # cross shards; GSPMD inserts the collective).
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_constraint
+                )
             (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(ts.params, ts.model_state, batch, sub, warm_up_weight)
@@ -172,6 +180,7 @@ def make_eval_epoch(
     ),
     *,
     jit: bool = True,
+    batch_constraint: Any = None,
 ):
     """Full-pass evaluation over device-resident data as one scan.
 
@@ -187,6 +196,10 @@ def make_eval_epoch(
             batch = cast_batch_to_f32(
                 {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
             )
+            if batch_constraint is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_constraint
+                )
             metrics = eval_fn(params, model_state, batch, sub)
             return rng, {k: metrics[k] for k in scalar_keys}
 

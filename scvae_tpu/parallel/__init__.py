@@ -12,7 +12,9 @@ from scvae_tpu.parallel.mesh import (
     create_mesh,
     distributed_initialize,
     param_shardings,
+    replicate_to_mesh,
     replicated,
+    resolve_mesh,
     shard_batch,
     shard_train_state,
 )
@@ -22,7 +24,9 @@ __all__ = [
     "create_mesh",
     "distributed_initialize",
     "param_shardings",
+    "replicate_to_mesh",
     "replicated",
+    "resolve_mesh",
     "shard_batch",
     "shard_train_state",
 ]

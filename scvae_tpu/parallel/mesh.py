@@ -60,6 +60,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def resolve_mesh(
+    mesh: Mesh | None = None,
+    devices=None,
+    number_of_devices: int | None = None,
+    model_parallelism: int | None = None,
+) -> Mesh | None:
+    """Resolve the user-facing parallelism arguments to a mesh (or None).
+
+    ``mesh`` wins if given; otherwise a mesh is built when any of
+    ``devices`` / ``number_of_devices`` / ``model_parallelism`` asks for
+    one.  This is the single entry point the model API and CLI share.
+    """
+    if mesh is not None:
+        return mesh
+    if devices is None and number_of_devices is None and (
+        model_parallelism is None or model_parallelism == 1
+    ):
+        return None
+    return create_mesh(
+        devices=devices,
+        n_devices=number_of_devices,
+        model_parallelism=model_parallelism or 1,
+    )
+
+
+def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Place every leaf replicated over the mesh (host → all chips)."""
+    return jax.device_put(tree, replicated(mesh))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (cell) axis over the data axis, replicated over model."""
     return NamedSharding(mesh, P("data"))

@@ -101,3 +101,41 @@ def test_cli_end_to_end(tmp_path):
     assert os.path.exists(
         os.path.join(analyses_dir, "cross_analysis", "comparison.csv")
     )
+
+
+def test_cli_train_evaluate_with_mesh(tmp_path):
+    """--number-of-devices/--model-parallelism make DP+TP reachable from
+    the CLI (greenfield vs the reference; SURVEY.md §2.9)."""
+    data_dir = str(tmp_path / "data")
+    models_dir = str(tmp_path / "models")
+
+    status = main(
+        [
+            "train", "development",
+            "-D", data_dir,
+            "-E", "random", "300",
+            "--split-data-set",
+            "-r", "negative_binomial",
+            "-l", "2", "-H", "8",
+            "-e", "2", "-B", "32",
+            "-M", models_dir,
+            "--number-of-devices", "8",
+            "--model-parallelism", "2",
+        ]
+    )
+    assert status == 0
+
+    status = main(
+        [
+            "evaluate", "development",
+            "-D", data_dir,
+            "-E", "random", "300",
+            "--split-data-set",
+            "-r", "negative_binomial",
+            "-l", "2", "-H", "8",
+            "-B", "32",
+            "-M", models_dir,
+            "--number-of-devices", "8",
+        ]
+    )
+    assert status == 0

@@ -183,3 +183,111 @@ class TestDataParallelEquivalence:
         batch = shard_batch(make_batch(np_rng), mesh)
         ts, metrics = train_step(ts, batch, jax.random.PRNGKey(1), 1.0)
         assert np.isfinite(float(metrics["lower_bound"]))
+
+
+class TestMeshThroughAPI:
+    """DP+TP reachable from the user-facing API (round-2 item 1): the same
+    ``train()``/``evaluate()`` calls, with a mesh, must reproduce the
+    single-device learning curves on the 8-virtual-device CPU mesh."""
+
+    @pytest.fixture(scope="class")
+    def dev_sets(self, tmp_path_factory):
+        from scvae_tpu.data import DataSet
+
+        directory = str(tmp_path_factory.mktemp("data"))
+        ds = DataSet(
+            "development", directory=directory,
+            example_filter=["random", 600],
+        )
+        return ds.split(method="random", fraction=0.9)
+
+    def _train(self, tmp_path, dev_sets, mesh, tag, model_cls=None, **model_kwargs):
+        from scvae_tpu.models import VariationalAutoencoder
+
+        train, valid, _ = dev_sets
+        cls = model_cls or VariationalAutoencoder
+        model = cls(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="negative binomial",
+            minibatch_normalisation=True,
+            log_directory=str(tmp_path / f"models_{tag}"),
+            **model_kwargs,
+        )
+        result = model.train(
+            train, valid, number_of_epochs=3, minibatch_size=64,
+            seed=0, verbose=False, mesh=mesh,
+        )
+        return model, result
+
+    def test_train_api_mesh_matches_single_device(self, tmp_path, dev_sets):
+        _, r_single = self._train(tmp_path, dev_sets, None, "single")
+        mesh = create_mesh(model_parallelism=2)
+        _, r_mesh = self._train(tmp_path, dev_sets, mesh, "mesh")
+        np.testing.assert_allclose(
+            r_single.history["validation"]["lower_bound"],
+            r_mesh.history["validation"]["lower_bound"],
+            rtol=2e-3,
+        )
+        np.testing.assert_allclose(
+            r_single.history["training"]["lower_bound"],
+            r_mesh.history["training"]["lower_bound"],
+            rtol=2e-3,
+        )
+
+    def test_evaluate_api_mesh_matches_single_device(self, tmp_path, dev_sets):
+        _, _, test = dev_sets
+        m_single, _ = self._train(tmp_path, dev_sets, None, "eval_single")
+        mesh = create_mesh()
+        m_mesh, _ = self._train(tmp_path, dev_sets, mesh, "eval_mesh")
+        m_single.evaluate(
+            test, minibatch_size=64, output_versions="latent", verbose=False
+        )
+        m_mesh.evaluate(
+            test, minibatch_size=64, output_versions="latent",
+            verbose=False, number_of_devices=8,
+        )
+        np.testing.assert_allclose(
+            m_single._last_evaluation_metrics["lower_bound"],
+            m_mesh._last_evaluation_metrics["lower_bound"],
+            rtol=2e-3,
+        )
+
+    def test_gmvae_train_api_mesh(self, tmp_path, dev_sets):
+        from scvae_tpu.models import GaussianMixtureVariationalAutoencoder
+
+        _, r_single = self._train(
+            tmp_path, dev_sets, None, "gm_single",
+            model_cls=GaussianMixtureVariationalAutoencoder,
+            number_of_latent_clusters=3,
+        )
+        mesh = create_mesh(model_parallelism=2)
+        _, r_mesh = self._train(
+            tmp_path, dev_sets, mesh, "gm_mesh",
+            model_cls=GaussianMixtureVariationalAutoencoder,
+            number_of_latent_clusters=3,
+        )
+        np.testing.assert_allclose(
+            r_single.history["validation"]["lower_bound"],
+            r_mesh.history["validation"]["lower_bound"],
+            rtol=5e-3,
+        )
+        # accuracy tracking ran under the mesh too
+        assert "accuracy" in r_mesh.history["validation"]
+
+    def test_streaming_pipeline_mesh(self, tmp_path, dev_sets):
+        """Force the streaming path under a mesh (data_placement)."""
+        from scvae_tpu.models import VariationalAutoencoder
+
+        train, valid, _ = dev_sets
+        model = VariationalAutoencoder(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="poisson",
+            minibatch_normalisation=True,
+            log_directory=str(tmp_path / "models_stream"),
+        )
+        result = model.train(
+            train, valid, number_of_epochs=2, minibatch_size=64,
+            seed=0, verbose=False, number_of_devices=8,
+            data_placement="streaming",
+        )
+        assert np.isfinite(result.history["validation"]["lower_bound"][-1])
