@@ -1,20 +1,33 @@
-"""Benchmark: cells/sec/chip for VAE-NB training (BASELINE.json headline).
+"""Benchmark: cells/sec/chip for the BASELINE.json configs.
 
-Trains the flagship configuration (VAE, negative-binomial likelihood, KL
-warm-up) on a synthetic 10x-PBMC-68k-shaped count matrix (68k cells ×
-2048 selected genes — the reference applies variance feature selection
-before training, ``docs/guide.rst:205-211``) and reports steady-state
-training throughput on one chip.
+Headline (the printed JSON line's ``value``): VAE-NB training throughput
+on a synthetic 10x-PBMC-68k-shaped count matrix (68k cells × 2048
+selected genes — the reference applies variance feature selection before
+training, ``docs/guide.rst:205-211``).  The same line carries, under
+``configs``, the remaining BASELINE configs:
+
+* ``vae_nb``            — config 2: VAE, negative binomial (headline)
+* ``vae_zinb_cat``      — config 3: VAE, ZINB + piecewise-categorical heads
+* ``gmvae_nb``          — config 4: GMVAE-NB (K=10) training throughput
+* ``gmvae_ari``         — config 4: GMVAE clustering ARI vs labels on the
+                          seeded ``development`` set (quality, not speed)
+* ``iw_evaluation``     — config 5: IW-ELBO (R=8) evaluation throughput
+
+plus ``tflops`` / ``mfu`` for the headline (achieved model FLOP/s —
+analytic 6·MAC per trained cell, since XLA's cost analysis misses the
+matmuls inside the fused Pallas custom-call — against the chip's bf16
+peak).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "cells/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "cells/sec/chip",
+     "vs_baseline": N, "tflops": N, "mfu": N, "configs": {...}}
 
 ``vs_baseline`` is measured throughput divided by REFERENCE_BASELINE — an
 estimate of the reference TF1 implementation's training throughput on
 GPU-class hardware for this config (one ``session.run`` per feed_dict
 minibatch of 100, host-side densification per step; the reference
-publishes no numbers, so this constant anchors round-over-round
-comparison; see BASELINE.md).
+publishes no numbers, so this self-chosen constant anchors
+round-over-round comparison only; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -31,14 +44,206 @@ N_CELLS = 68_579  # 10x-PBMC-68k size
 N_GENES = 2048
 LATENT = 100
 HIDDEN = (256, 256)
-BATCH = 2048  # measured sweet spot on v5e (1024: 0.64 ms, 2048: 1.09 ms,
-# 4096: 3.2 ms per step → 2048 maximises cells/s)
-WARMUP_STEPS = 5
-TIMED_STEPS = 60
+BATCH = 2048  # measured sweet spot on v5e
+TIMING_EPOCHS = 6
+
+# bf16 peak TFLOP/s by device kind (public spec sheets); used only for the
+# MFU estimate — unknown kinds report mfu = null.
+BF16_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def make_counts(n_cells: int, n_genes: int, density: float = 0.07):
+    """Synthetic sparse counts with PBMC-like sparsity (~93% zeros)."""
+    import scipy.sparse
+
+    rng_np = np.random.RandomState(0)
+    n_nonzero_per_row = max(1, int(n_genes * density))
+    rows = np.repeat(np.arange(n_cells), n_nonzero_per_row)
+    cols = rng_np.randint(0, n_genes, size=rows.shape[0])
+    vals = rng_np.poisson(3.0, size=rows.shape[0]).astype(np.float32) + 1.0
+    return scipy.sparse.csr_matrix(
+        (vals, (rows, cols)), shape=(n_cells, n_genes)
+    )
+
+
+def time_epochs(run_epoch, n_epochs: int = TIMING_EPOCHS) -> float:
+    """Best-epoch wall time over ``n_epochs`` timed epochs (the tunnelled
+    chip is shared, so the fastest epoch is closest to capability)."""
+    times = []
+    for e in range(n_epochs):
+        start = time.perf_counter()
+        run_epoch(e)
+        times.append(time.perf_counter() - start)
+    return min(times)
+
+
+def extract_flops(compiled) -> float | None:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def analytic_train_flops_per_cell(config) -> float:
+    """Model matmul FLOPs per cell for one training step: 2·MAC forward +
+    4·MAC backward = 6·MAC (XLA's counter misses matmuls inside the fused
+    Pallas likelihood custom-call, so the honest MFU number is analytic)."""
+    f = config.feature_size
+    hidden = list(config.hidden_sizes)
+    d = config.latent_size
+    n_recon = len(config.reconstruction_spec.parameters)
+    macs = 0
+    # encoder chain
+    dims = [f] + hidden
+    for a, b in zip(dims[:-1], dims[1:]):
+        macs += a * b
+    # posterior heads (mu, log_sigma)
+    macs += hidden[-1] * d * 2
+    # decoder chain (reversed hidden)
+    dims = [d] + hidden[::-1]
+    for a, b in zip(dims[:-1], dims[1:]):
+        macs += a * b
+    # reconstruction heads (+ categorised logits)
+    macs += hidden[0] * f * n_recon
+    if config.k_max:
+        macs += hidden[0] * f * (config.k_max + 1)
+    k = getattr(config, "n_clusters", 1)
+    if k > 1:  # GMVAE: q(y|x) trunk + K-way encoder/decoder/heads
+        macs *= k  # decoder+heads+encoder run per cluster (approximation)
+    return 6.0 * macs
+
+
+def bench_training(config, data, n_cells: int, batch: int, seed: int = 0):
+    """Steady-state training throughput for one model config on
+    device-resident data; returns (cells/sec, flops_per_epoch)."""
+    import jax
+
+    from scvae_tpu.models import create_train_state, make_optimizer
+    from scvae_tpu.models import gmvae, vae
+    from scvae_tpu.models.step import epoch_permutation, make_train_epoch
+
+    module = gmvae if config.__class__.__name__ == "GMVAEConfig" else vae
+    rng = jax.random.PRNGKey(seed)
+    params, state = module.init(config, rng)
+    optimizer = make_optimizer(1e-4)
+    train_state = create_train_state(params, state, optimizer)
+
+    def loss(params, model_state, batch, rng, warm_up_weight):
+        return module.loss_fn(
+            config, params, model_state, batch, rng,
+            warm_up_weight=warm_up_weight,
+        )
+
+    train_epoch = make_train_epoch(loss, optimizer)
+    perm_rng = np.random.RandomState(1)
+    steps_per_epoch = n_cells // batch
+
+    # Analytic model FLOPs (XLA's cost analysis misses matmuls inside the
+    # fused Pallas custom-call, and AOT-compiling the whole epoch scan is
+    # too slow on the tunnelled platform).
+    flops_per_epoch = (
+        analytic_train_flops_per_cell(config) * batch * steps_per_epoch
+    )
+    state_box = [train_state]
+
+    def run_epoch(e):
+        perm = epoch_permutation(n_cells, batch, perm_rng)
+        new_state, metrics = train_epoch(
+            state_box[0], data, perm, jax.random.PRNGKey(3 + e), 1.0
+        )
+        state_box[0] = new_state
+        # NOTE: a host fetch (float()) is the reliable sync point on the
+        # tunnelled TPU platform; block_until_ready alone returns early.
+        value = float(metrics["lower_bound"])
+        assert np.isfinite(value)
+
+    run_epoch(-1)  # warmup
+    best = time_epochs(run_epoch)
+    return steps_per_epoch * batch / best, flops_per_epoch, best
+
+
+def bench_iw_evaluation(config, data, n_cells: int, batch: int, n_iw: int):
+    """IW-ELBO evaluation throughput (BASELINE config 5)."""
+    import jax
+
+    from scvae_tpu.models import vae
+    from scvae_tpu.models.step import make_eval_epoch, sequential_batches
+
+    rng = jax.random.PRNGKey(0)
+    params, state = vae.init(config, rng)
+
+    def eval_fn(params, model_state, batch, rng):
+        metrics, _ = vae.elbo_terms(
+            config, params, model_state, batch, rng,
+            training=False, n_iw=n_iw, n_mc=1,
+        )
+        return metrics
+
+    eval_epoch = make_eval_epoch(eval_fn)
+    idx = sequential_batches(n_cells, batch)
+
+    def run_epoch(e):
+        out = eval_epoch(params, state, data, idx, jax.random.PRNGKey(5 + e))
+        value = float(out["lower_bound"])
+        assert np.isfinite(value)
+
+    run_epoch(-1)
+    best = time_epochs(run_epoch, 4)
+    return idx.size / best
+
+
+def bench_gmvae_ari() -> float:
+    """GMVAE clustering quality: ARI vs labels on the seeded development
+    data (BASELINE config 4 quality gate; reference docs/guide.rst:205)."""
+    import tempfile
+
+    import jax
+
+    from scvae_tpu.analyses.metrics import adjusted_rand_index
+    from scvae_tpu.data import DataSet
+    from scvae_tpu.models import GaussianMixtureVariationalAutoencoder
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = DataSet("development", directory=tmp + "/data")
+        train, valid, test = ds.split(method="random", fraction=0.9)
+        model = GaussianMixtureVariationalAutoencoder(
+            feature_size=train.number_of_features,
+            latent_size=10,
+            hidden_sizes=[64],
+            reconstruction_distribution="negative binomial",
+            number_of_latent_clusters=5,
+            number_of_warm_up_epochs=20,
+            log_directory=tmp + "/models",
+        )
+        model.train(
+            train, valid, number_of_epochs=60, minibatch_size=256,
+            verbose=False, track_accuracy=False,
+        )
+        transformed, _, _ = model.evaluate(
+            test, minibatch_size=256, output_versions="all", verbose=False
+        )
+        to_id = test.class_name_to_class_id
+        label_ids = np.array([to_id[n] for n in test.labels])
+        return float(
+            adjusted_rand_index(
+                label_ids, transformed.predicted_cluster_ids
+            )
+        )
 
 
 def main() -> None:
@@ -52,98 +257,99 @@ def main() -> None:
     except Exception:
         pass
 
-    from scvae_tpu.models import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
-    from scvae_tpu.models import vae
+    from scvae_tpu.data.pipeline import device_resident_data
+    from scvae_tpu.models import gmvae, vae
 
     devices = jax.devices()
     log(f"devices: {devices}")
+    device_kind = devices[0].device_kind
 
-    config = vae.VAEConfig(
-        feature_size=N_GENES,
-        latent_size=LATENT,
-        hidden_sizes=HIDDEN,
-        reconstruction_distribution="negative binomial",
-        minibatch_normalisation=True,
-        number_of_warm_up_epochs=200,
-    )
-
-    # synthetic sparse-ish count data with PBMC-like sparsity (~93% zeros)
-    rng_np = np.random.RandomState(0)
     log("generating synthetic counts…")
-    import scipy.sparse
-
-    density = 0.07
-    n_nonzero_per_row = max(1, int(N_GENES * density))
-    rows = np.repeat(np.arange(N_CELLS), n_nonzero_per_row)
-    cols = rng_np.randint(0, N_GENES, size=rows.shape[0])
-    vals = rng_np.poisson(3.0, size=rows.shape[0]).astype(np.float32) + 1.0
-    values = scipy.sparse.csr_matrix(
-        (vals, (rows, cols)), shape=(N_CELLS, N_GENES)
-    )
-
-    # Device-resident data + whole-epoch lax.scan: the dataset lives in
-    # HBM (counts as int16), so steady-state training has zero per-step
-    # host traffic — the host only ships one shuffled index array per
-    # epoch (scvae_tpu.models.step.make_train_epoch).
-    from scvae_tpu.data.pipeline import device_resident_data
-    from scvae_tpu.models.step import epoch_permutation, make_train_epoch
-
+    values = make_counts(N_CELLS, N_GENES)
     log("staging data in HBM…")
-    data = device_resident_data({"x": values, "t": values}, count_dtype=np.int16)
+    data = device_resident_data(
+        {"x": values, "t": values}, count_dtype=np.int16
+    )
     jax.block_until_ready(data["x"])
 
-    rng = jax.random.PRNGKey(0)
-    params, state = vae.init(config, rng)
-    optimizer = make_optimizer(1e-4)
-    train_state = create_train_state(params, state, optimizer)
+    configs: dict[str, dict] = {}
 
-    def loss(params, model_state, batch, rng, warm_up_weight):
-        return vae.loss_fn(
-            config, params, model_state, batch, rng,
-            warm_up_weight=warm_up_weight,
-        )
-
-    train_epoch = make_train_epoch(loss, optimizer)
-    perm_rng = np.random.RandomState(1)
-    steps_per_epoch = N_CELLS // BATCH
-
-    log("compiling + warmup epoch…")
-    perm = epoch_permutation(N_CELLS, BATCH, perm_rng)
-    train_state, metrics = train_epoch(
-        train_state, data, perm, jax.random.PRNGKey(2), 1.0
+    # -- headline: VAE-NB training (BASELINE config 2) ----------------------
+    config = vae.VAEConfig(
+        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
+        reconstruction_distribution="negative binomial",
+        minibatch_normalisation=True, number_of_warm_up_epochs=200,
     )
-    # NOTE: a host fetch (float()) is the reliable sync point on the
-    # tunnelled TPU platform; block_until_ready alone returns early there.
-    float(metrics["lower_bound"])
-
-    log("timing…")
-    # Per-epoch timing with a host-fetch sync each epoch; the tunnelled
-    # chip is shared, so throughput varies run to run — report the best
-    # epoch (closest to the hardware's capability).
-    n_epochs = 8
-    epoch_times = []
-    for e in range(n_epochs):
-        perm = epoch_permutation(N_CELLS, BATCH, perm_rng)
-        start = time.perf_counter()
-        train_state, metrics = train_epoch(
-            train_state, data, perm, jax.random.PRNGKey(3 + e), 1.0
-        )
-        float(metrics["lower_bound"])
-        epoch_times.append(time.perf_counter() - start)
-    best = min(epoch_times)
-    median = sorted(epoch_times)[len(epoch_times) // 2]
-
-    cells_per_sec = steps_per_epoch * BATCH / best
+    log("benchmarking VAE-NB…")
+    cells_per_sec, flops_per_epoch, best = bench_training(
+        config, data, N_CELLS, BATCH
+    )
+    steps = N_CELLS // BATCH
     log(
-        f"best epoch {best:.3f}s, median {median:.3f}s for "
-        f"{steps_per_epoch} steps of {BATCH} cells "
-        f"({1000 * best / steps_per_epoch:.2f} ms/step best); "
-        f"epoch-mean lower bound {float(metrics['lower_bound']):.2f}"
+        f"VAE-NB: best epoch {best:.3f}s for {steps} steps of {BATCH} "
+        f"({1000 * best / steps:.2f} ms/step) → {cells_per_sec:,.0f} cells/s"
     )
+    tflops = mfu = None
+    if flops_per_epoch:
+        tflops = flops_per_epoch / best / 1e12
+        peak = BF16_PEAK_TFLOPS.get(device_kind)
+        if peak:
+            mfu = tflops / peak
+        log(f"achieved {tflops:.2f} TFLOP/s (device {device_kind}, MFU "
+            f"{mfu:.3%})" if mfu is not None else f"{tflops:.2f} TFLOP/s")
+    configs["vae_nb"] = {
+        "cells_per_sec": round(cells_per_sec, 1),
+        "ms_per_step": round(1000 * best / steps, 3),
+    }
+
+    # -- config 3: ZINB + categorised counts --------------------------------
+    config_zinb = vae.VAEConfig(
+        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
+        reconstruction_distribution="zero-inflated negative binomial",
+        number_of_reconstruction_classes=10,
+        minibatch_normalisation=True,
+    )
+    log("benchmarking VAE-ZINB+categorised…")
+    zinb_cells, _, zinb_best = bench_training(config_zinb, data, N_CELLS, BATCH)
+    log(f"ZINB+cat: {zinb_cells:,.0f} cells/s")
+    configs["vae_zinb_cat"] = {
+        "cells_per_sec": round(zinb_cells, 1),
+        "ms_per_step": round(1000 * zinb_best / steps, 3),
+    }
+
+    # -- config 4: GMVAE-NB training throughput -----------------------------
+    config_gm = gmvae.GMVAEConfig(
+        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
+        reconstruction_distribution="negative binomial",
+        number_of_latent_clusters=10, minibatch_normalisation=True,
+    )
+    gm_batch = 512  # K=10 multiplies activations; smaller per-step batch
+    log("benchmarking GMVAE-NB…")
+    gm_cells, _, gm_best = bench_training(config_gm, data, N_CELLS, gm_batch)
+    log(f"GMVAE-NB: {gm_cells:,.0f} cells/s")
+    configs["gmvae_nb"] = {
+        "cells_per_sec": round(gm_cells, 1),
+        "ms_per_step": round(1000 * gm_best / (N_CELLS // gm_batch), 3),
+    }
+
+    # -- config 5: IW-ELBO evaluation ---------------------------------------
+    log("benchmarking IW evaluation…")
+    iw_cells = bench_iw_evaluation(config, data, N_CELLS, 1024, n_iw=8)
+    log(f"IW-ELBO (R=8) evaluation: {iw_cells:,.0f} cells/s")
+    configs["iw_evaluation"] = {
+        "cells_per_sec": round(iw_cells, 1),
+        "n_iw": 8,
+    }
+
+    # -- config 4 quality: GMVAE ARI on development -------------------------
+    log("training GMVAE on development for ARI…")
+    try:
+        ari = bench_gmvae_ari()
+        log(f"GMVAE development ARI: {ari:.3f}")
+        configs["gmvae_ari"] = {"adjusted_rand_index": round(ari, 4)}
+    except Exception as error:  # quality config must not sink the bench
+        log(f"GMVAE ARI config failed: {error}")
+        configs["gmvae_ari"] = {"error": str(error)[:200]}
 
     result = {
         "metric": "cells/sec/chip, VAE-NB training, 68k cells x 2048 genes",
@@ -152,6 +358,15 @@ def main() -> None:
         "vs_baseline": round(
             cells_per_sec / REFERENCE_BASELINE_CELLS_PER_SEC, 3
         ),
+        "baseline_note": (
+            "baseline is a self-chosen 50k cells/s estimate of the "
+            "reference TF1 feed_dict loop (no published numbers); "
+            "round-over-round anchor only"
+        ),
+        "device_kind": device_kind,
+        "tflops": round(tflops, 2) if tflops else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "configs": configs,
     }
     print(json.dumps(result))
 

@@ -20,7 +20,7 @@ from typing import Any, Sequence
 import numpy as np
 import scipy.sparse
 
-from scvae_tpu.analyses import figures, metrics
+from scvae_tpu.analyses import figures, metrics, subanalyses
 from scvae_tpu.analyses.decomposition import decompose
 from scvae_tpu.data.utilities import save_values
 from scvae_tpu.defaults import get_default
@@ -62,15 +62,20 @@ def _resolve_included(included_analyses) -> list[str]:
     if included_analyses is None:
         included_analyses = get_default("analyses", "included_analyses")
     if isinstance(included_analyses, str):
-        if included_analyses in ANALYSIS_GROUPS:
-            return list(ANALYSIS_GROUPS[included_analyses])
-        return [included_analyses]
+        included_analyses = [included_analyses]
     resolved: list[str] = []
     for item in included_analyses:
         if item in ANALYSIS_GROUPS:
             resolved.extend(ANALYSIS_GROUPS[item])
-        else:
+        elif item in ANALYSIS_GROUPS["all"]:
             resolved.append(item)
+        else:
+            # Unknown kinds raise instead of silently no-opping.
+            raise ValueError(
+                f"Unknown analysis {item!r}; expected a group "
+                f"({'/'.join(ANALYSIS_GROUPS)}) or one of: "
+                + ", ".join(ANALYSIS_GROUPS["all"])
+            )
     return resolved
 
 
@@ -196,6 +201,66 @@ def analyse_data(
                         directory=set_directory,
                     )
 
+        if "heat_maps" in included:
+            results["figures"].extend(
+                subanalyses.analyse_matrices(
+                    data_set,
+                    name=[data_set.kind],
+                    analyses_directory=set_directory,
+                )
+            )
+
+        if "distances" in included:
+            results["figures"].extend(
+                subanalyses.analyse_matrices(
+                    data_set,
+                    plot_distances=True,
+                    name=[data_set.kind],
+                    analyses_directory=set_directory,
+                )
+            )
+
+        if "feature_value_standard_deviations" in included:
+            # Sorted series + distribution of per-gene standard deviations
+            # (reference analyses.py:224-301).
+            std_directory = _subdirectory(
+                set_directory, "feature_value_standard_deviations"
+            )
+            values = data_set.values
+            if scipy.sparse.issparse(values):
+                mean = np.asarray(values.mean(axis=0)).squeeze()
+                mean_sq = np.asarray(
+                    values.multiply(values).mean(axis=0)
+                ).squeeze()
+                stds = np.sqrt(np.maximum(mean_sq - mean**2, 0.0))
+            else:
+                stds = np.asarray(values).std(axis=0).squeeze()
+            results["figures"].append(
+                figures.plot_series(
+                    stds,
+                    x_label="genes",
+                    y_label="value standard deviations",
+                    sort=True,
+                    scale="log",
+                    name=(
+                        "feature_value_standard_deviations-"
+                        f"{data_set.kind}"
+                    ),
+                    directory=std_directory,
+                )
+            )
+            results["figures"].append(
+                figures.plot_histogram(
+                    stds,
+                    name=(
+                        "feature_value_standard_deviations_histogram-"
+                        f"{data_set.kind}"
+                    ),
+                    directory=std_directory,
+                    label="gene value standard deviations",
+                )
+            )
+
     return results
 
 
@@ -242,42 +307,57 @@ def analyse_model(
                 )
     results["learning_curves"] = curves
 
-    # GMVAE centroid evolution (probabilities + PCA-projected mean paths)
+    # KL-divergence evolution heat map: per-latent-dimension KL over epochs
+    # (reference analyses.py:446-471 via ``load_kl_divergences``; here the
+    # vectors come from the run's array-series store).
+    if "kl_heat_maps" in included and "VAE" in model.type:
+        log_dir = model.log_directory(run_id=run_id)
+        kl_neurons = None
+        for kind in ("validation", "training"):
+            kl_neurons = checkpoints.load_array_series(
+                log_dir, f"kl_divergence_neurons-{kind}"
+            )
+            if kl_neurons is not None:
+                break
+        if kl_neurons is not None and kl_neurons.ndim == 2:
+            results["figures"].append(
+                figures.plot_kl_divergence_evolution(
+                    np.sort(kl_neurons, axis=1),
+                    directory=directory,
+                )
+            )
+            results["kl_divergences"] = kl_neurons
+
+    # GMVAE centroid evolution (probabilities + PCA-projected mean paths +
+    # generalised-variance evolution; reference analyses.py:473-569)
     centroid_history = checkpoints.load_centroids(
         model.log_directory(run_id=run_id)
     )
-    if centroid_history is not None and "learning_curves" in included:
+    wants_centroids = (
+        "learning_curves" in included or "latent_distributions" in included
+    )
+    if centroid_history is not None and wants_centroids:
+        centroids_directory = _subdirectory(directory, "centroids_evolution")
         results["figures"].append(
             figures.plot_centroid_probabilities_evolution(
                 centroid_history["probabilities"],
-                directory=directory,
+                directory=centroids_directory,
             )
         )
-        means = np.asarray(centroid_history["means"])  # (E, K, D)
-        e, k, d = means.shape
-        flat = means.reshape(-1, d)
-        if d > 2:
-            flat = decompose(flat, method="PCA", number_of_components=2)
-        paths = flat.reshape(e, k, 2)
-        import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(6, 6))
-        for cluster in range(k):
-            ax.plot(
-                paths[:, cluster, 0], paths[:, cluster, 1],
-                marker=".", markersize=3, linewidth=1,
-                label=f"cluster {cluster + 1}",
-            )
-            ax.scatter(
-                paths[-1, cluster, 0], paths[-1, cluster, 1],
-                marker="x", s=60,
-            )
-        ax.set_xlabel("component 1")
-        ax.set_ylabel("component 2")
-        ax.legend(frameon=False, fontsize="x-small")
         results["figures"].append(
-            figures._save(fig, "centroid_mean_evolution", directory)
+            figures.plot_centroid_means_evolution(
+                centroid_history["means"],
+                directory=centroids_directory,
+            )
         )
+        covariances = centroid_history.get("covariance_matrices")
+        if covariances is not None and np.asarray(covariances).ndim == 4:
+            results["figures"].append(
+                figures.plot_centroid_covariance_evolution(
+                    covariances,
+                    directory=centroids_directory,
+                )
+            )
     results["centroids"] = centroid_history
     return results
 
@@ -518,6 +598,22 @@ def analyse_results(
             ) as f:
                 f.write("\n".join(prediction_lines) + "\n")
 
+    # Latest GMVAE prior/posterior centroid snapshot for latent-space
+    # projections (reference loads these from event files,
+    # analyses.py:1388-1400).
+    centroids = None
+    if "gaussian mixture" in model.latent_distribution_name:
+        centroid_history = checkpoints.load_centroids(
+            model.log_directory(run_id=run_id)
+        )
+        if centroid_history is not None:
+            centroids = {
+                "prior": {
+                    key: np.asarray(value[-1])
+                    for key, value in centroid_history.items()
+                }
+            }
+
     # latent space scatters
     if (
         "latent_space" in included
@@ -526,11 +622,20 @@ def analyse_results(
     ):
         latent_set = latent_evaluation_sets["z"]
         values = np.asarray(latent_set.values)
+        centroids_decomposed = centroids
         if values.shape[1] == 2:
             decomposed = values
             axis_labels = ("z1", "z2")
         else:
-            decomposed = decompose(values, method="PCA", number_of_components=2)
+            if centroids:
+                decomposed, centroids_decomposed = decompose(
+                    values, centroids=centroids, method="PCA",
+                    number_of_components=2,
+                )
+            else:
+                decomposed = decompose(
+                    values, method="PCA", number_of_components=2
+                )
             axis_labels = ("PC 1", "PC 2")
         for colour_values, suffix, title in (
             (
@@ -552,11 +657,37 @@ def analyse_results(
                         decomposed,
                         colour_coding=colour_values,
                         colour_coding_title=title,
+                        centroids=(
+                            centroids_decomposed.get("prior")
+                            if isinstance(centroids_decomposed, dict)
+                            else None
+                        ),
                         name=f"latent_space-{suffix}",
                         directory=directory,
                         axis_labels=axis_labels,
                     )
                 )
+        # decomposition grid over every latent set × method (reference
+        # analyses.py:1405-1416 via subanalyses.analyse_decompositions)
+        results["figures"].extend(
+            subanalyses.analyse_decompositions(
+                list(latent_evaluation_sets.values()),
+                centroids=centroids,
+                colouring_data_set=evaluation_set,
+                decomposition_methods=decomposition_methods,
+                export_options=export_options,
+                analyses_directory=_subdirectory(directory, "latent_space"),
+            )
+        )
+        if centroids:
+            results["figures"].extend(
+                subanalyses.analyse_centroid_probabilities(
+                    centroids,
+                    analyses_directory=_subdirectory(
+                        directory, "latent_space"
+                    ),
+                )
+            )
         if export_options and "latent" in export_options or (
             "latent_values" in included
         ):
@@ -601,35 +732,221 @@ def analyse_results(
                 )
             )
 
-    if "heat_maps" in included and evaluation_set.has_values:
-        n_plot = min(evaluation_set.number_of_examples, 500)
+    # reconstruction sprite sheets for image data (reference
+    # analyses.py:1060-1090)
+    if (
+        "images" in included
+        and reconstructed_evaluation_set is not None
+        and reconstructed_evaluation_set.example_type == "images"
+    ):
         results["figures"].append(
-            figures.plot_heat_map(
-                evaluation_set.values[:n_plot],
-                labels=(
-                    evaluation_set.labels[:n_plot]
-                    if evaluation_set.has_labels
-                    else None
-                ),
-                name=f"heat_map-{evaluation_set.kind}",
+            figures.combine_images_from_data_set(
+                reconstructed_evaluation_set,
+                name=f"image_examples-reconstructed-{evaluation_set.kind}",
                 directory=directory,
+            )
+        )
+
+    # distribution histograms of the reconstructions (reference
+    # analyses.py:1225-1234)
+    if (
+        "distributions" in included
+        and reconstructed_evaluation_set is not None
+        and reconstructed_evaluation_set.has_values
+    ):
+        results["figures"].extend(
+            subanalyses.analyse_distributions(
+                reconstructed_evaluation_set,
+                analysis_level=analysis_level,
+                export_options=export_options,
+                analyses_directory=_subdirectory(directory, "distributions"),
+            )
+        )
+
+    # decomposition grids of the reconstructed (and, at the extensive
+    # level, original) value sets (reference analyses.py:1236-1283)
+    if (
+        "decompositions" in included
+        and reconstructed_evaluation_set is not None
+        and reconstructed_evaluation_set.has_values
+    ):
+        decomposition_sets = [reconstructed_evaluation_set]
+        if analysis_level == "extensive":
+            decomposition_sets.append(evaluation_set)
+        results["figures"].extend(
+            subanalyses.analyse_decompositions(
+                decomposition_sets,
+                colouring_data_set=evaluation_set,
+                decomposition_methods=decomposition_methods,
+                analysis_level=analysis_level,
+                export_options=export_options,
+                analyses_directory=_subdirectory(directory, "decompositions"),
+            )
+        )
+
+    # value heat maps of reconstructed + latent sets (reference
+    # analyses.py:1285-1351)
+    if "heat_maps" in included:
+        heat_map_sets = [evaluation_set]
+        if (
+            reconstructed_evaluation_set is not None
+            and reconstructed_evaluation_set.has_values
+        ):
+            heat_map_sets.append(reconstructed_evaluation_set)
+        if latent_evaluation_sets and "z" in latent_evaluation_sets:
+            heat_map_sets.append(latent_evaluation_sets["z"])
+        for heat_map_set in heat_map_sets:
+            results["figures"].extend(
+                subanalyses.analyse_matrices(
+                    heat_map_set,
+                    name=[heat_map_set.kind, heat_map_set.version],
+                    analyses_directory=_subdirectory(directory, "heat_maps"),
+                )
+            )
+
+    # pairwise-distance heat maps (reference analyses.py:1353-1365)
+    if "distances" in included:
+        distance_sets = []
+        if (
+            reconstructed_evaluation_set is not None
+            and reconstructed_evaluation_set.has_values
+        ):
+            distance_sets.append(reconstructed_evaluation_set)
+        if latent_evaluation_sets and "z" in latent_evaluation_sets:
+            distance_sets.append(latent_evaluation_sets["z"])
+        for distance_set in distance_sets:
+            results["figures"].extend(
+                subanalyses.analyse_matrices(
+                    distance_set,
+                    plot_distances=True,
+                    name=[distance_set.kind, distance_set.version],
+                    analyses_directory=_subdirectory(directory, "distances"),
+                )
+            )
+
+    # prediction TSV exports (reference analyses.py:1367-1370)
+    if "predictions" in included and (
+        evaluation_set.has_predicted_cluster_ids
+        or evaluation_set.has_predicted_labels
+        or evaluation_set.has_predicted_superset_labels
+    ):
+        results["figures"].extend(
+            subanalyses.analyse_predictions(
+                evaluation_set, analyses_directory=directory
             )
         )
 
     if "latent_correlations" in included and latent_evaluation_sets:
         latent_set = latent_evaluation_sets.get("z")
         if latent_set is not None and latent_set.values.shape[1] > 1:
-            corr = metrics.correlation_matrix(latent_set.values)
+            correlations_directory = _subdirectory(
+                directory, "latent_correlations"
+            )
+            corr = metrics.correlation_matrix(latent_set.values, axis="features")
             results["figures"].append(
                 figures.plot_heat_map(
                     corr,
                     name="latent_correlations",
-                    directory=directory,
+                    directory=correlations_directory,
                     x_label="latent dimension",
                     y_label="latent dimension",
                     z_label="correlation",
                     center=0.0,
                 )
             )
+            # most-correlated latent pairs (reference analyses.py:1453-1480)
+            pairs = metrics.most_correlated_feature_pairs(corr, n_limit=5)
+            values = np.asarray(latent_set.values)
+            for pair in pairs:
+                results["figures"].append(
+                    figures.plot_values(
+                        values[:, list(pair)],
+                        colour_coding=(
+                            latent_set.labels
+                            if latent_set.has_labels
+                            else None
+                        ),
+                        name="latent_correlations-pair_{}_{}".format(*pair),
+                        directory=correlations_directory,
+                        axis_labels=(f"z{pair[0] + 1}", f"z{pair[1] + 1}"),
+                    )
+                )
+            # latent scatter matrix (reference plot_variable_correlations)
+            if values.shape[1] <= 10:
+                results["figures"].append(
+                    figures.plot_variable_correlations(
+                        values,
+                        variable_names=latent_set.feature_names,
+                        colour_coding=(
+                            latent_set.labels
+                            if latent_set.has_labels
+                            else None
+                        ),
+                        name="latent_scatter_matrix",
+                        directory=correlations_directory,
+                    )
+                )
+            # per-dimension label correlations (reference
+            # analyses.py:1500-1525)
+            if latent_set.has_labels:
+                for dim in range(min(values.shape[1], 10)):
+                    results["figures"].append(
+                        figures.plot_variable_label_correlations(
+                            values[:, dim],
+                            latent_set.labels,
+                            variable_name=f"z{dim + 1}",
+                            name=(
+                                "latent_correlations-labels-"
+                                f"latent_dimension_{dim}"
+                            ),
+                            directory=correlations_directory,
+                        )
+                    )
+
+    # latent features: the two highest-KL latent dimensions plotted against
+    # each other (+ labels against the first; reference analyses.py:1527-1607)
+    if (
+        "latent_features" in included
+        and latent_evaluation_sets
+        and "z" in latent_evaluation_sets
+    ):
+        latent_set = latent_evaluation_sets["z"]
+        values = np.asarray(latent_set.values)
+        features_directory = _subdirectory(directory, "latent_features")
+        kl_neurons = None
+        for kind in ("validation", "training"):
+            kl_neurons = checkpoints.load_array_series(
+                model.log_directory(run_id=run_id),
+                f"kl_divergence_neurons-{kind}",
+            )
+            if kl_neurons is not None:
+                break
+        if kl_neurons is not None and kl_neurons.shape[-1] == values.shape[1]:
+            ranking = np.argsort(kl_neurons[-1])[::-1]
+        else:
+            ranking = np.argsort(values.var(axis=0))[::-1]
+        if values.shape[1] >= 2:
+            factor_1, factor_2 = int(ranking[0]), int(ranking[1])
+            results["figures"].append(
+                figures.plot_values(
+                    values[:, [factor_1, factor_2]],
+                    colour_coding=(
+                        latent_set.labels if latent_set.has_labels else None
+                    ),
+                    name="latent_features-pair",
+                    directory=features_directory,
+                    axis_labels=(f"z{factor_1 + 1}", f"z{factor_2 + 1}"),
+                )
+            )
+            if latent_set.has_labels:
+                results["figures"].append(
+                    figures.plot_variable_label_correlations(
+                        values[:, factor_1],
+                        latent_set.labels,
+                        variable_name=f"z{factor_1 + 1}",
+                        name="latent_factor-labels",
+                        directory=features_directory,
+                    )
+                )
 
     return results

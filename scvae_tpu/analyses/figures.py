@@ -611,3 +611,190 @@ def plot_model_metric_sets(
     if len(seen) > 1 or other_method_metrics:
         ax.legend(loc="best", fontsize=8)
     return _save(fig, name, directory)
+
+
+# --------------------------------------------------------------------------
+# Series + centroid-evolution + latent-correlation figure families
+# (reference figures/series.py:29-121, learning_curves.py:351-485,
+# scatter.py:29-476)
+# --------------------------------------------------------------------------
+
+
+def plot_series(
+    series: np.ndarray,
+    x_label: str = "feature",
+    y_label: str = "value",
+    sort: bool = False,
+    scale: str = "linear",
+    name: str = "series",
+    directory: str = ".",
+) -> str:
+    """1-D series plot, optionally sorted descending with a log y-scale
+    (reference ``figures/series.py:29``, used for feature-value standard
+    deviations)."""
+    series = np.asarray(series, np.float64).squeeze()
+    if sort:
+        series = np.sort(series)[::-1]
+    fig, ax = plt.subplots(figsize=(7, 3))
+    ax.plot(np.arange(1, series.size + 1), series, linewidth=1)
+    if scale == "log":
+        positive = series[series > 0]
+        if positive.size:
+            ax.set_yscale("log")
+    ax.set_xlabel(x_label + (" (sorted)" if sort else ""))
+    ax.set_ylabel(y_label)
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+def plot_centroid_means_evolution(
+    means: np.ndarray,
+    name: str = "centroid_means_evolution",
+    directory: str = ".",
+    decomposed: bool = False,
+) -> str:
+    """Per-cluster mean paths over epochs, PCA-projected when the latent
+    space has more than two dimensions (reference
+    ``figures/learning_curves.py:351-425``)."""
+    means = np.asarray(means)  # (E, K, D)
+    e, k, d = means.shape
+    axis_labels = ("latent dimension 1", "latent dimension 2")
+    if d > 2:
+        from scvae_tpu.analyses.decomposition import decompose
+
+        flat = decompose(
+            means.reshape(-1, d), method="PCA", number_of_components=2
+        )
+        means = flat.reshape(e, k, 2)
+        axis_labels = ("PC 1", "PC 2")
+        decomposed = True
+    elif d == 1:
+        means = np.concatenate(
+            [np.broadcast_to(np.arange(e)[:, None, None], (e, k, 1)), means],
+            axis=-1,
+        )
+        axis_labels = ("epoch", "latent dimension 1")
+    fig, ax = plt.subplots(figsize=(6, 6))
+    colours = seaborn.color_palette("husl", k)
+    for cluster in range(k):
+        ax.plot(
+            means[:, cluster, 0], means[:, cluster, 1],
+            marker=".", markersize=3, linewidth=1,
+            color=colours[cluster], label=f"cluster {cluster + 1}",
+        )
+        ax.scatter(
+            means[-1, cluster, 0], means[-1, cluster, 1],
+            marker="x", s=60, color=colours[cluster],
+        )
+    ax.set_xlabel(axis_labels[0])
+    ax.set_ylabel(axis_labels[1])
+    ax.legend(frameon=False, fontsize="x-small", ncol=2)
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+def plot_centroid_covariance_evolution(
+    covariance_matrices: np.ndarray,
+    name: str = "centroid_covariance_evolution",
+    directory: str = ".",
+) -> str:
+    """Per-cluster generalised variance |Σ_k| (product of the covariance
+    diagonal, like the reference) over epochs; log y-scale when the
+    dynamic range warrants it (reference
+    ``figures/learning_curves.py:428-485``)."""
+    covariance_matrices = np.asarray(covariance_matrices)  # (E, K, D, D)
+    e, k = covariance_matrices.shape[:2]
+    determinants = np.prod(
+        np.diagonal(covariance_matrices, axis1=-2, axis2=-1), axis=-1
+    )  # (E, K)
+    fig, ax = plt.subplots(figsize=(7, 3))
+    colours = seaborn.color_palette("husl", k)
+    epochs = np.arange(1, e + 1)
+    for cluster in range(k):
+        ax.plot(
+            epochs, determinants[:, cluster],
+            color=colours[cluster], linewidth=1,
+            label=f"cluster {cluster + 1}",
+        )
+    if np.all(determinants > 0):
+        per_line_ratio = determinants.max(axis=0) / determinants.min(axis=0)
+        if per_line_ratio.max() / max(per_line_ratio.min(), 1e-30) > 1e2:
+            ax.set_yscale("log")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("|Σ(y = k)|")
+    ax.legend(frameon=False, fontsize="x-small", ncol=2)
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+def plot_variable_label_correlations(
+    variable_values: np.ndarray,
+    labels: Sequence,
+    variable_name: str = "z",
+    name: str = "variable_label_correlations",
+    directory: str = ".",
+) -> str:
+    """One latent dimension against the class labels (jittered categorical
+    scatter; reference ``figures/scatter.py`` label-correlation plots)."""
+    variable_values = np.asarray(variable_values).reshape(-1)
+    labels = np.asarray(labels).astype(str)
+    class_names = sorted(set(labels.tolist()))
+    palette = _class_palette(class_names)
+    positions = {c: i for i, c in enumerate(class_names)}
+    rng = np.random.RandomState(0)
+    x = np.array([positions[c] for c in labels], np.float64)
+    x = x + rng.uniform(-0.3, 0.3, size=x.shape)
+    fig, ax = plt.subplots(figsize=(max(4, 0.6 * len(class_names)), 4))
+    ax.scatter(
+        x, variable_values, s=4, alpha=0.6,
+        c=[palette[c] for c in labels], linewidths=0,
+    )
+    ax.set_xticks(range(len(class_names)))
+    ax.set_xticklabels(class_names, rotation=45, ha="right", fontsize="x-small")
+    ax.set_ylabel(variable_name)
+    seaborn.despine(fig)
+    return _save(fig, name, directory)
+
+
+def plot_variable_correlations(
+    values: np.ndarray,
+    variable_names: Sequence[str] | None = None,
+    colour_coding: Sequence | None = None,
+    name: str = "variable_correlations",
+    directory: str = ".",
+    max_variables: int = 10,
+) -> str:
+    """Scatter matrix of the latent dimensions, coloured by labels — the
+    reference's latent scatter-matrix plot
+    (``figures/scatter.py:29-476`` via ``plot_variable_correlations``)."""
+    values = _densify(values)
+    d = min(values.shape[1], max_variables)
+    values = values[:, :d]
+    if variable_names is None:
+        variable_names = [f"z{i + 1}" for i in range(d)]
+    colours = None
+    if colour_coding is not None:
+        labels = np.asarray(colour_coding).astype(str)
+        palette = _class_palette(sorted(set(labels.tolist())))
+        colours = [palette[c] for c in labels]
+    fig, axes = plt.subplots(
+        d, d, figsize=(1.6 * d + 1, 1.6 * d + 1), squeeze=False
+    )
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i][j]
+            if i == j:
+                ax.hist(values[:, i], bins=30, color="#777777")
+            else:
+                ax.scatter(
+                    values[:, j], values[:, i], s=2, alpha=0.5,
+                    c=colours, linewidths=0,
+                )
+            if i == d - 1:
+                ax.set_xlabel(str(variable_names[j]), fontsize="x-small")
+            if j == 0:
+                ax.set_ylabel(str(variable_names[i]), fontsize="x-small")
+            ax.set_xticks([])
+            ax.set_yticks([])
+    fig.tight_layout()
+    return _save(fig, name, directory)

@@ -140,12 +140,17 @@ def analyse_decompositions(
         if not data_set.has_values:
             continue
         colour_set = colouring_data_set or data_set
+        # Centroids live in z-space: only project them onto decompositions
+        # of z-space values (reference subanalyses.py:514).
+        set_centroids = (
+            centroids if getattr(data_set, "version", None) == "z" else None
+        )
         for method in decomposition_methods:
             try:
-                if centroids and method == "PCA":
+                if set_centroids and method == "PCA":
                     decomposed, centroids_decomposed = decompose(
                         data_set.values,
-                        centroids=centroids,
+                        centroids=set_centroids,
                         method=method,
                         number_of_components=number_of_components,
                     )

@@ -26,6 +26,32 @@ import scipy.sparse
 import jax
 
 
+def _put_global(dense: np.ndarray, sharding) -> Any:
+    """Place a batch on a (possibly multi-host) sharding.
+
+    Single-process: plain ``device_put``.  Multi-process: every process
+    passes only ITS rows (the caller already sliced them), assembled into
+    one global array via ``jax.make_array_from_process_local_data`` —
+    per-host CSR shard feeding, SURVEY.md §7 hard part 5."""
+    if jax.process_count() == 1 or sharding is None:
+        return jax.device_put(dense, sharding)
+    return jax.make_array_from_process_local_data(sharding, dense)
+
+
+def process_local_rows(indices: np.ndarray, sharding) -> np.ndarray:
+    """The slice of a global row-index batch this process must densify.
+
+    For a batch row-sharded over the data axis, shard d holds the d-th
+    contiguous block; a process owns the blocks of its addressable
+    devices, which GSPMD lays out contiguously for a trailing-process
+    mesh, so the process block is ``indices[p·L : (p+1)·L]``."""
+    if jax.process_count() == 1 or sharding is None:
+        return indices
+    p = jax.process_index()
+    per_process = len(indices) // jax.process_count()
+    return indices[p * per_process:(p + 1) * per_process]
+
+
 def densify_rows(values, indices: np.ndarray) -> np.ndarray:
     """Slice rows and densify to float32 (multi-threaded C++ gather when
     the native library is available, scipy otherwise)."""

@@ -132,6 +132,7 @@ class VariationalAutoencoder:
                 "learning_rate", get_default("models", "learning_rate")
             ),
             fused_likelihood=kwargs.get("fused_likelihood"),
+            precision=kwargs.get("precision"),
         )
 
         validate_model_parameters(
@@ -367,14 +368,14 @@ class VariationalAutoencoder:
 
         idx = step.sequential_batches(n, batch_size)
         n_full = int(idx.size)
-        scalar_keys = ("lower_bound", "reconstruction_error", "kl_divergence")
+        scalar_keys = step.EVAL_METRIC_KEYS
 
         def evaluate(train_state, rng):
             if n_full:
                 out = eval_epoch(
                     train_state.params, train_state.model_state, data, idx, rng
                 )
-                out = {k: float(v) for k, v in out.items()}
+                out = {k: np.asarray(v, np.float64) for k, v in out.items()}
             else:
                 out = {k: 0.0 for k in scalar_keys}
             remainder = n - n_full
@@ -398,10 +399,16 @@ class VariationalAutoencoder:
                     train_state.params, train_state.model_state, batch, sub
                 )
                 out = {
-                    k: (out[k] * n_full + float(m2[k]) * remainder) / n
+                    k: (
+                        out[k] * n_full
+                        + np.asarray(m2[k], np.float64) * remainder
+                    ) / n
                     for k in scalar_keys
                 }
-            return out
+            return {
+                k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
+                for k, v in out.items()
+            }
 
         return evaluate
 
@@ -577,6 +584,7 @@ class VariationalAutoencoder:
             )
             checkpoints.truncate_learning_curves(log_dir, start_epoch)
             checkpoints.truncate_centroids(log_dir, start_epoch)
+            checkpoints.truncate_array_series(log_dir, start_epoch)
             if verbose:
                 print(f"Resuming training from epoch {start_epoch}.")
 

@@ -223,6 +223,54 @@ def truncate_centroids(directory: str, number_of_epochs: int) -> None:
 
 
 # --------------------------------------------------------------------------
+# Per-epoch array series (e.g. per-latent-dimension KL divergences; the
+# reference reassembles these from TF-event tags, models/utilities.py:523)
+# --------------------------------------------------------------------------
+
+ARRAY_SERIES_FILE = "array_series.json"
+
+
+def append_array_series(directory: str, name: str, vector: Any) -> None:
+    """Append one epoch's vector (e.g. the (D,) per-neuron KL) to the named
+    series in the run directory."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, ARRAY_SERIES_FILE)
+    series: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            series = json.load(f)
+    series.setdefault(name, []).append(np.asarray(vector).tolist())
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(series, f)
+    os.replace(tmp, path)
+
+
+def load_array_series(directory: str, name: str) -> np.ndarray | None:
+    """The named series stacked over epochs: (E, …) array, or None."""
+    path = os.path.join(directory, ARRAY_SERIES_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        series = json.load(f)
+    if name not in series or not series[name]:
+        return None
+    return np.asarray(series[name])
+
+
+def truncate_array_series(directory: str, number_of_epochs: int) -> None:
+    path = os.path.join(directory, ARRAY_SERIES_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        series = json.load(f)
+    for name in series:
+        series[name] = series[name][:number_of_epochs]
+    with open(path, "w") as f:
+        json.dump(series, f)
+
+
+# --------------------------------------------------------------------------
 # Learning curves (JSON, replacing event-file re-parsing; SURVEY.md §1)
 # --------------------------------------------------------------------------
 

@@ -77,6 +77,8 @@ class GMVAEConfig:
     # path.  Pays off here sooner than for the VAE: the XLA path
     # materialises (K, S, B, F) head activations per parameter.
     fused_likelihood: bool | None = None
+    # Mixed-precision training matmuls (see ``VAEConfig.precision``).
+    precision: str | None = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -165,6 +167,11 @@ class GMVAEConfig:
         if self.use_count_sum_as_feature:
             size += 1
         return size
+
+    def compute_dtype(self, training: bool):
+        from scvae_tpu.models.vae import resolve_compute_dtype
+
+        return resolve_compute_dtype(self.precision, training)
 
 
 # --------------------------------------------------------------------------
@@ -260,9 +267,13 @@ def _p_y_logits(config: GMVAEConfig, params: Params) -> jax.Array:
     return jnp.zeros((config.n_clusters,), jnp.float32)  # uniform
 
 
-def _build_theta(spec, heads: Params, h: jax.Array) -> dict[str, jax.Array]:
+def _build_theta(
+    spec, heads: Params, h: jax.Array, compute_dtype=None
+) -> dict[str, jax.Array]:
     return {
-        pname: pspec.constrain(networks.apply_dense(heads[pname], h))
+        pname: pspec.constrain(
+            networks.apply_dense(heads[pname], h, compute_dtype=compute_dtype)
+        )
         for pname, pspec in spec.parameters.items()
     }
 
@@ -305,6 +316,7 @@ def forward(
     k = config.n_clusters
     s = n_iw * n_mc
     new_state: State = {}
+    compute_dtype = config.compute_dtype(training)
 
     rng_qy, rng_qz_drop, rng_z, rng_dec = jax.random.split(rng, 4)
 
@@ -317,6 +329,7 @@ def forward(
         rng=rng_qy,
         input_dropout_keep_prob=config.dropout_keep_probability_x,
         hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+        compute_dtype=compute_dtype,
     )
     new_state["q_y"] = q_y_state
     cat_spec = DISTRIBUTIONS["categorical"].parameters["logits"]
@@ -340,8 +353,10 @@ def forward(
         # it, ``gaussian_mixture_variational_autoencoder.py:2936-3007``).
         layer0 = params["q_z"]["encoder"]["layers"][0]
         f = x.shape[-1]
-        base_pre0 = (
-            jnp.matmul(x, layer0["kernel"][:f]) + layer0["bias"]
+        base_pre0 = networks.apply_dense(
+            {"kernel": layer0["kernel"][:f], "bias": layer0["bias"]},
+            x,
+            compute_dtype=compute_dtype,
         )  # (B, H)
         onehot_rows = layer0["kernel"][f:]  # (K, H)
 
@@ -353,8 +368,11 @@ def forward(
                 training=training,
                 rng=drop_rng,
                 hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+                compute_dtype=compute_dtype,
             )
-            theta = _build_theta(posterior_spec, params["q_z"]["heads"], h)
+            theta = _build_theta(
+                posterior_spec, params["q_z"]["heads"], h, compute_dtype
+            )
             return theta, enc_state
 
         q_z_theta, q_z_states = jax.vmap(encode_cluster)(
@@ -374,8 +392,11 @@ def forward(
                 rng=drop_rng,
                 input_dropout_keep_prob=config.dropout_keep_probability_x,
                 hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+                compute_dtype=compute_dtype,
             )
-            theta = _build_theta(posterior_spec, params["q_z"]["heads"], h)
+            theta = _build_theta(
+                posterior_spec, params["q_z"]["heads"], h, compute_dtype
+            )
             return theta, enc_state
 
         q_z_theta, q_z_states = jax.vmap(encode_cluster)(
@@ -420,6 +441,7 @@ def forward(
             rng=drop_rng,
             input_dropout_keep_prob=config.dropout_keep_probability_z,
             hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+            compute_dtype=compute_dtype,
         )
         return dec_h, dec_state
 
@@ -430,7 +452,9 @@ def forward(
 
     p_x = None
     if build_reconstruction:
-        x_theta = _build_theta(recon_spec, params["reconstruction"], dec_h)
+        x_theta = _build_theta(
+            recon_spec, params["reconstruction"], dec_h, compute_dtype
+        )
         count_sum = (
             batch.get("count_sum")
             if config.use_count_sum_as_parameter
@@ -439,7 +463,10 @@ def forward(
         p_x = recon_spec.build(x_theta, count_sum=count_sum)  # (K, S, B, F)
 
         if config.k_max:
-            logits = networks.apply_dense(params["categorised_logits"], dec_h)
+            logits = networks.apply_dense(
+                params["categorised_logits"], dec_h,
+                compute_dtype=compute_dtype,
+            )
             logits = jnp.reshape(
                 logits,
                 logits.shape[:-1] + (config.feature_size, config.k_max + 1),

@@ -143,6 +143,7 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
                 "learning_rate", get_default("models", "learning_rate")
             ),
             fused_likelihood=kwargs.get("fused_likelihood"),
+            precision=kwargs.get("precision"),
         )
 
         self.feature_size = feature_size

@@ -44,8 +44,23 @@ def init_dense(rng: jax.Array, in_dim: int, out_dim: int) -> Params:
     }
 
 
-def apply_dense(params: Params, x: jax.Array) -> jax.Array:
-    return jnp.matmul(x, params["kernel"]) + params["bias"]
+def apply_dense(
+    params: Params, x: jax.Array, *, compute_dtype=None
+) -> jax.Array:
+    """Dense layer.  With ``compute_dtype`` (e.g. ``jnp.bfloat16``) the
+    matmul inputs are cast down while accumulation stays float32
+    (``preferred_element_type``) — the TPU MXU's native mixed-precision
+    mode; parameters, bias add, and everything downstream remain f32."""
+    kernel = params["kernel"]
+    if compute_dtype is not None and kernel.dtype != compute_dtype:
+        y = jnp.matmul(
+            x.astype(compute_dtype),
+            kernel.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = jnp.matmul(x, kernel)
+    return y + params["bias"]
 
 
 def init_batch_norm(dim: int) -> tuple[Params, State]:
@@ -124,6 +139,7 @@ def apply_mlp(
     activation: Callable[[jax.Array], jax.Array] = jax.nn.relu,
     input_dropout_keep_prob: float = 1.0,
     hidden_dropout_keep_prob: float = 1.0,
+    compute_dtype=None,
 ) -> tuple[jax.Array, State]:
     """Dropout → dense → batch-norm → activation per layer, like the
     reference's ``dense_layers`` stacking (``scvae/models/utilities.py:81-126``)."""
@@ -135,7 +151,7 @@ def apply_mlp(
         if training and rng is not None and keep < 1.0:
             rng, sub = jax.random.split(rng)
             h = dropout(sub, h, keep)
-        h = apply_dense(layer, h)
+        h = apply_dense(layer, h, compute_dtype=compute_dtype)
         if use_bn:
             h, bn_s = apply_batch_norm(
                 params["batch_norm"][i],
@@ -160,6 +176,7 @@ def apply_mlp_from_first_preactivation(
     rng: jax.Array | None = None,
     activation: Callable[[jax.Array], jax.Array] = jax.nn.relu,
     hidden_dropout_keep_prob: float = 1.0,
+    compute_dtype=None,
 ) -> tuple[jax.Array, State]:
     """Finish an MLP given the FIRST layer's pre-activation ``pre0``.
 
@@ -184,7 +201,7 @@ def apply_mlp_from_first_preactivation(
             ):
                 rng, sub = jax.random.split(rng)
                 h = dropout(sub, h, hidden_dropout_keep_prob)
-            h = apply_dense(layer, h)
+            h = apply_dense(layer, h, compute_dtype=compute_dtype)
         if use_bn:
             h, bn_s = apply_batch_norm(
                 params["batch_norm"][i],

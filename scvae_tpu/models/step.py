@@ -171,13 +171,20 @@ def make_train_epoch(
     return train_epoch
 
 
+# Metrics collected by full-pass evaluators: the three ELBO scalars plus
+# the per-latent-dimension KL vector that feeds the KL-evolution heat map
+# (reference logs it per epoch as TF summaries; models/utilities.py:523).
+EVAL_METRIC_KEYS = (
+    "lower_bound",
+    "reconstruction_error",
+    "kl_divergence",
+    "kl_divergence_neurons",
+)
+
+
 def make_eval_epoch(
     eval_fn: Callable[..., dict[str, jax.Array]],
-    scalar_keys: tuple[str, ...] = (
-        "lower_bound",
-        "reconstruction_error",
-        "kl_divergence",
-    ),
+    scalar_keys: tuple[str, ...] = EVAL_METRIC_KEYS,
     *,
     jit: bool = True,
     batch_constraint: Any = None,
@@ -204,7 +211,9 @@ def make_eval_epoch(
             return rng, {k: metrics[k] for k in scalar_keys}
 
         _, stacked = jax.lax.scan(body, rng, idx)
-        return {k: jnp.mean(v) for k, v in stacked.items()}
+        # mean over the batch axis only: scalars stay scalars, per-dimension
+        # vectors (kl_divergence_neurons) stay vectors
+        return {k: jnp.mean(v, axis=0) for k, v in stacked.items()}
 
     if jit:
         return jax.jit(eval_epoch)

@@ -55,26 +55,32 @@ def evaluate_on_pipeline(
     pipeline,
     rng: jax.Array,
     *,
-    scalar_keys: Iterable[str] = (
-        "lower_bound",
-        "reconstruction_error",
-        "kl_divergence",
-    ),
-) -> dict[str, float]:
+    scalar_keys: Iterable[str] | None = None,
+) -> dict[str, Any]:
     """Batched full-pass evaluation, size-weighted like the reference's
-    accumulation loops (``variational_autoencoder.py:2016-2055``)."""
-    totals = {k: 0.0 for k in scalar_keys}
+    accumulation loops (``variational_autoencoder.py:2016-2055``).
+    Vector-valued metrics (per-neuron KL) are averaged elementwise."""
+    from scvae_tpu.models.step import EVAL_METRIC_KEYS
+
+    if scalar_keys is None:
+        scalar_keys = EVAL_METRIC_KEYS
+    totals: dict[str, Any] = {k: 0.0 for k in scalar_keys}
     n_total = 0
     for batch in pipeline.epoch():
         rng, sub = jax.random.split(rng)
         metrics = eval_step(train_state.params, train_state.model_state, batch, sub)
         b = int(np.shape(batch["t"])[0])
         for k in totals:
-            totals[k] += float(metrics[k]) * b
+            if k in metrics:
+                totals[k] = totals[k] + np.asarray(metrics[k], np.float64) * b
         n_total += b
     if n_total == 0:
         return {k: float("nan") for k in scalar_keys}
-    return {k: v / n_total for k, v in totals.items()}
+    out = {}
+    for k, v in totals.items():
+        v = v / n_total
+        out[k] = float(v) if np.ndim(v) == 0 else np.asarray(v)
+    return out
 
 
 def streaming_epoch_runner(
@@ -173,13 +179,25 @@ def run_training_loop(
         if epoch_callback is not None:
             epoch_callback(epoch, train_state, epoch_metrics)
 
+        # Vector-valued metrics (per-neuron KL) go to the array-series
+        # store; only scalars enter the float learning curves.
+        scalar_metrics: dict[str, dict[str, float]] = {}
         for kind, metrics in epoch_metrics.items():
             kind_history = history.setdefault(kind, {})
+            kind_scalars: dict[str, float] = {}
             for name, value in metrics.items():
+                if np.ndim(value) > 0:
+                    if log_directory:
+                        checkpoints.append_array_series(
+                            log_directory, f"{name}-{kind}", value
+                        )
+                    continue
                 kind_history.setdefault(name, []).append(float(value))
+                kind_scalars[name] = float(value)
+            scalar_metrics[kind] = kind_scalars
 
         if log_directory:
-            checkpoints.append_learning_curves(log_directory, epoch_metrics)
+            checkpoints.append_learning_curves(log_directory, scalar_metrics)
             checkpoints.save_checkpoint(
                 log_directory,
                 train_state,

@@ -61,12 +61,18 @@ class VAEConfig:
     kl_weight: float = 1.0
     learning_rate: float = 1e-4
     # Fused Pallas decoder-head+likelihood kernel for the training loss:
-    # True = use (TPU compiled kernel; jnp reference on other backends),
-    # False/None = default XLA path.  Measured on TPU v5e at
-    # (M=4096, H=256, F=2048): fused ≈ 0.97× XLA — XLA already fuses the
-    # head epilogues well at these shapes, so the kernel is opt-in; it
-    # pays off when head activations (n_params·M·F) stop fitting on-chip.
+    # True = force on (compiled kernel on TPU; jnp reference elsewhere),
+    # False = force the plain XLA path, None = auto (on for TPU when the
+    # distribution has a fused kernel, off elsewhere).  Measured on TPU
+    # v5e at the flagship shape (B=2048, H=256, F=2048, NB, bf16 trunk):
+    # fused 1.53 ms/step vs XLA 1.81 ms/step (~1.18×) — the kernel avoids
+    # materialising the (B, F) per-parameter head activations in HBM.
     fused_likelihood: bool | None = None
+    # Mixed-precision matmuls for TRAINING: inputs cast to bfloat16, f32
+    # accumulation on the MXU, f32 master weights/optimizer state;
+    # evaluation always runs full f32.  None → "bfloat16" on TPU backends
+    # and "float32" elsewhere (CPU tests and parity checks stay exact).
+    precision: str | None = None
 
     def __post_init__(self):
         object.__setattr__(
@@ -134,6 +140,26 @@ class VAEConfig:
         if self.use_count_sum_as_feature:
             size += 1
         return size
+
+    def compute_dtype(self, training: bool):
+        """Matmul input dtype for this pass (None → full precision)."""
+        return resolve_compute_dtype(self.precision, training)
+
+
+def resolve_compute_dtype(precision: str | None, training: bool):
+    """bf16 matmul inputs for training on TPU (f32 accumulation); full f32
+    for evaluation and on non-TPU backends unless explicitly requested."""
+    if not training:
+        return None
+    if precision is None:
+        precision = (
+            "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        )
+    if precision in ("float32", "highest", "f32"):
+        return None
+    if precision in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"Unknown precision {precision!r}")
 
 
 # --------------------------------------------------------------------------
@@ -248,15 +274,22 @@ def _fused_path_enabled(config: VAEConfig) -> bool:
             )
         return False
     if config.fused_likelihood is None:
-        return False  # opt-in (see VAEConfig.fused_likelihood)
+        # Auto: on for TPU (measured faster with the bf16 trunk — see
+        # VAEConfig.fused_likelihood), off elsewhere (the jnp reference
+        # implementation has no advantage over plain XLA on CPU).
+        return jax.default_backend() == "tpu"
     return True
 
 
-def _constrained_head(pspec, head_params, h):
-    return pspec.constrain(networks.apply_dense(head_params, h))
+def _constrained_head(pspec, head_params, h, compute_dtype=None):
+    return pspec.constrain(
+        networks.apply_dense(head_params, h, compute_dtype=compute_dtype)
+    )
 
 
-def _build_posterior(config: VAEConfig, params: Params, h: jax.Array):
+def _build_posterior(
+    config: VAEConfig, params: Params, h: jax.Array, compute_dtype=None
+):
     """Posterior distribution from encoder output ``h`` of shape (B, H)."""
     posterior_spec = config.latent_spec["posterior"]
     dist_spec = DISTRIBUTIONS[posterior_spec["name"]]
@@ -267,7 +300,9 @@ def _build_posterior(config: VAEConfig, params: Params, h: jax.Array):
                 posterior_spec["parameters"][pname], jnp.float32
             )
         else:
-            raw = _constrained_head(pspec, params["posterior"][pname], h)
+            raw = _constrained_head(
+                pspec, params["posterior"][pname], h, compute_dtype
+            )
             if config.parameterise_latent_posterior:
                 # Residual posterior: posterior params += prior params
                 # (reference :2333-2344).  Gaussian priors are constants.
@@ -314,13 +349,14 @@ def _build_reconstruction(
     params: Params,
     decoder_h: jax.Array,
     batch: Batch,
+    compute_dtype=None,
 ):
     """Reconstruction distribution over (S, B, F) from decoder output."""
     spec = config.reconstruction_spec
     theta: dict[str, jax.Array] = {}
     for pname, pspec in spec.parameters.items():
         theta[pname] = _constrained_head(
-            pspec, params["reconstruction"][pname], decoder_h
+            pspec, params["reconstruction"][pname], decoder_h, compute_dtype
         )
     count_sum = None
     if config.use_count_sum_as_parameter:
@@ -328,7 +364,10 @@ def _build_reconstruction(
     p_x = spec.build(theta, count_sum=count_sum)
 
     if config.k_max:
-        logits = networks.apply_dense(params["categorised_logits"], decoder_h)
+        logits = networks.apply_dense(
+            params["categorised_logits"], decoder_h,
+            compute_dtype=compute_dtype,
+        )
         logits = jnp.reshape(
             logits,
             logits.shape[:-1] + (config.feature_size, config.k_max + 1),
@@ -354,6 +393,7 @@ def forward(
     new_state: State = {}
 
     x = batch["x"]
+    compute_dtype = config.compute_dtype(training)
 
     # Encoder
     if config.inference_architecture == "MLP":
@@ -365,12 +405,13 @@ def forward(
             rng=rng_drop_enc,
             input_dropout_keep_prob=config.dropout_keep_probability_x,
             hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+            compute_dtype=compute_dtype,
         )
         new_state["encoder"] = enc_state
     else:  # LFM: identity — linear factor model
         h = x
 
-    q_z = _build_posterior(config, params, h)
+    q_z = _build_posterior(config, params, h, compute_dtype)
     p_z = _build_prior(config, params)
 
     n_samples = n_iw * n_mc
@@ -392,13 +433,14 @@ def forward(
             rng=rng_drop_dec,
             input_dropout_keep_prob=config.dropout_keep_probability_z,
             hidden_dropout_keep_prob=config.dropout_keep_probability_h,
+            compute_dtype=compute_dtype,
         )
         new_state["decoder"] = dec_state
     else:
         dec_h = dec_in
 
     p_x = (
-        _build_reconstruction(config, params, dec_h, batch)
+        _build_reconstruction(config, params, dec_h, batch, compute_dtype)
         if build_reconstruction
         else None
     )

@@ -368,3 +368,95 @@ class TestCrossAnalysisAggregation:
             log_summary=False,
         )
         assert "ARI" not in table.columns
+
+
+class TestAllAnalysisKindsProduceArtifacts:
+    """Every key in ANALYSIS_GROUPS['all'] must produce artifacts — no
+    silent no-ops (round-2 item 2; reference analyses.py:750-1607)."""
+
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        from scvae_tpu.data import DataSet
+        from scvae_tpu.models import GaussianMixtureVariationalAutoencoder
+
+        tmp = tmp_path_factory.mktemp("all_kinds")
+        ds = DataSet(
+            "development", directory=str(tmp / "data"),
+            example_filter=["random", 300],
+        )
+        train, valid, test = ds.split(method="random", fraction=0.9)
+        model = GaussianMixtureVariationalAutoencoder(
+            feature_size=25, latent_size=3, hidden_sizes=[16],
+            reconstruction_distribution="negative binomial",
+            number_of_latent_clusters=3,
+            minibatch_normalisation=True,
+            log_directory=str(tmp / "models"),
+        )
+        model.train(train, valid, number_of_epochs=3, minibatch_size=64,
+                    verbose=False)
+        return tmp, model, train, valid, test
+
+    def test_unknown_analysis_kind_raises(self, trained):
+        from scvae_tpu import analyses
+
+        tmp, model, train, valid, test = trained
+        with pytest.raises(ValueError, match="Unknown analysis"):
+            analyses.analyse_data(
+                [train], included_analyses=["not_a_kind"],
+                analyses_directory=str(tmp / "a"),
+            )
+
+    def test_analyse_data_all(self, trained):
+        from scvae_tpu import analyses
+
+        tmp, model, train, valid, test = trained
+        adir = str(tmp / "analyses_data")
+        analyses.analyse_data(
+            [train], included_analyses="all", analyses_directory=adir
+        )
+        import glob
+
+        paths = glob.glob(adir + "/**/*.png", recursive=True)
+        names = "\n".join(paths)
+        for expected in (
+            "count_histogram", "class_histogram", "heat_map", "distances",
+            "feature_value_standard_deviations",
+        ):
+            assert expected in names, f"missing {expected} artifact"
+
+    def test_analyse_model_and_results_all(self, trained):
+        import glob
+
+        from scvae_tpu import analyses
+
+        tmp, model, train, valid, test = trained
+        adir = str(tmp / "analyses_results")
+        model_results = analyses.analyse_model(
+            model, included_analyses="all", analyses_directory=adir
+        )
+        model_names = "\n".join(model_results["figures"])
+        # KL-neuron evolution heat map wired (round-1 dead code)
+        assert "kl_divergence_evolution" in model_names
+        assert "centroid_means_evolution" in model_names
+        assert "centroid_covariance_evolution" in model_names
+
+        outputs = model.evaluate(
+            test, minibatch_size=64, output_versions="all", verbose=False
+        )
+        transformed, reconstructed, latent = outputs
+        results = analyses.analyse_results(
+            transformed, reconstructed, latent, model,
+            included_analyses="all", analyses_directory=adir,
+        )
+        names = "\n".join(str(p) for p in results["figures"])
+        for expected in (
+            "latent_space", "heat_map", "distances", "count_histogram",
+            "latent_correlations", "latent_features", "latent_scatter_matrix",
+            "pca_test_reconstructed",  # decomposition grid of x̂
+        ):
+            assert expected in names, f"missing {expected} artifact"
+        # prediction TSV export (subanalyses.analyse_predictions wired)
+        tsvs = glob.glob(adir + "/**/predictions_*.tsv*", recursive=True)
+        assert tsvs, "missing prediction TSV export"
+        # metrics pickles for cross-analysis
+        assert glob.glob(adir + "/**/test-metrics.pkl.gz", recursive=True)

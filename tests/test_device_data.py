@@ -140,7 +140,10 @@ def test_eval_epoch_matches_direct(rng):
     eval_epoch = make_eval_epoch(eval_fn)
     out = eval_epoch(params, state, data, idx, jax.random.PRNGKey(0))
     assert np.isfinite(float(out["lower_bound"]))
-    assert set(out) == {"lower_bound", "reconstruction_error", "kl_divergence"}
+    assert set(out) == {
+        "lower_bound", "reconstruction_error", "kl_divergence",
+        "kl_divergence_neurons",
+    }
 
 
 def test_api_device_vs_streaming_training(tmp_path):

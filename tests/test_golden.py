@@ -35,12 +35,15 @@ def test_vae_nb_golden_trajectory(tmp_path, dev_split):
     )
     curve = result.history["validation"]["lower_bound"]
     assert np.all(np.isfinite(curve)), curve
-    # Known-good run (2026-08-17, fixed seeds): starts ≈ −14300, dips
-    # during KL warm-up, recovers to ≈ −6000 by epoch 10.  A numerics
-    # regression (likelihood −inf, KL sign, clip bug) breaks these
-    # immediately.
-    assert -20000 < curve[0] < -5000
-    assert curve[-1] > -9000
+    # Known-good run (2026-08-20, fixed seeds, CPU f32):
+    #   curve[0] = −14318.4, curve[4] = −24735.4 (KL warm-up dip),
+    #   curve[-1] = −6052.0.
+    # ±2% bands: a numerics regression (likelihood −inf, KL sign, clip
+    # bug, optimiser drift) breaks these immediately, while benign
+    # reduction-order noise across jax versions stays well inside.
+    np.testing.assert_allclose(curve[0], -14318.4, rtol=0.02)
+    np.testing.assert_allclose(curve[4], -24735.4, rtol=0.02)
+    np.testing.assert_allclose(curve[-1], -6052.0, rtol=0.02)
 
 
 def test_gmvae_golden_trajectory(tmp_path, dev_split):
@@ -57,7 +60,11 @@ def test_gmvae_golden_trajectory(tmp_path, dev_split):
     )
     curve = result.history["validation"]["lower_bound"]
     assert np.all(np.isfinite(curve)), curve
-    assert -20000 < curve[-1] < 0
+    # Known-good run (2026-08-20, fixed seeds, CPU f32):
+    #   curve = [−7576.6, −6453.5, −8586.9] — ±2% bands.
+    np.testing.assert_allclose(
+        curve, [-7576.6, -6453.5, -8586.9], rtol=0.02
+    )
     # KL decomposition stays sane
     kl_y = result.history["validation"].get("kl_divergence")
     acc = result.history["validation"]["accuracy"]
