@@ -85,6 +85,22 @@ def _subdirectory(base: str, *parts: str) -> str:
     return path
 
 
+def _model_analyses_path(
+    base: str,
+    model_name: str,
+    run_id: str | None = None,
+    subdirectories: Sequence[str] = (),
+) -> str:
+    """``<base>/<model name (hierarchical)>[/run_<id>]/<subdirs…>``
+    (reference ``analyses.py:1609-1630``).  The hierarchical model name is
+    kept as-is so cross-analysis can parse the model specification from the
+    directory layout."""
+    path = os.path.join(base, model_name)
+    if run_id:
+        path = os.path.join(path, f"run_{run_id}")
+    return _subdirectory(path, *subdirectories)
+
+
 # --------------------------------------------------------------------------
 # Data analyses (reference analyses.py:60-301)
 # --------------------------------------------------------------------------
@@ -282,8 +298,12 @@ def analyse_model(
     if analyses_directory is None:
         analyses_directory = get_default("analyses", "directory")
     included = _resolve_included(included_analyses)
-    directory = _subdirectory(
-        analyses_directory, "model", normalise_string(model.name)
+    number_of_epochs_trained = model.number_of_epochs_trained(run_id=run_id)
+    directory = _model_analyses_path(
+        analyses_directory,
+        model.name,
+        run_id,
+        [f"e_{number_of_epochs_trained}"],
     )
     results: dict[str, Any] = {"figures": []}
 
@@ -382,11 +402,11 @@ def analyse_intermediate_results(
     """Latent scatter (+ centroids) and curves at a training epoch."""
     if analyses_directory is None:
         analyses_directory = get_default("analyses", "directory")
-    directory = _subdirectory(
+    directory = _model_analyses_path(
         analyses_directory,
-        "intermediate",
-        normalise_string(model_name),
-        f"epoch_{epoch + 1}",
+        model_name,
+        run_id,
+        ["intermediate", f"epoch_{epoch + 1}"],
     )
     saved = []
     if learning_curves:
@@ -468,15 +488,30 @@ def analyse_results(
         version = "best_model"
     elif early_stopping:
         version = "early_stopping"
-    directory = _subdirectory(
-        analyses_directory,
-        normalise_string(model.name),
-        run_id and f"run_{run_id}" or "",
-        version,
+    number_of_epochs_trained = model.number_of_epochs_trained(
+        run_id=run_id, early_stopping=early_stopping, best_model=best_model
+    )
+    # Version directory encodes epochs + version + evaluation sample counts
+    # (reference analyses.py:805-817), so re-evaluations after further
+    # training land in distinct directories and cross-analysis can pick the
+    # longest-trained variant per version.
+    evaluation_directory_parts = [f"e_{number_of_epochs_trained}"]
+    if version != "end_of_training":
+        evaluation_directory_parts.append(version)
+    evaluation_directory_parts.append(
+        "mc_{}".format(model.number_of_monte_carlo_samples["evaluation"])
+    )
+    evaluation_directory_parts.append(
+        "iw_{}".format(model.number_of_importance_samples["evaluation"])
+    )
+    subdirectories = ["-".join(evaluation_directory_parts)]
+    if evaluation_set.kind != "test":
+        subdirectories.append(evaluation_set.kind)
+    directory = _model_analyses_path(
+        analyses_directory, model.name, run_id, subdirectories
     )
 
     results: dict[str, Any] = {"figures": [], "directory": directory}
-    number_of_epochs_trained = model.number_of_epochs_trained(run_id=run_id)
 
     if "metrics" in included:
         evaluation_metrics = getattr(model, "_last_evaluation_metrics", {})

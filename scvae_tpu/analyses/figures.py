@@ -500,52 +500,88 @@ def plot_elbo_heat_map(
     return _save(fig, name, directory)
 
 
+def _metric_mean_sd(value) -> tuple[float, float] | None:
+    """Scalar or list of run values → (mean, sd across runs); None when the
+    value is missing or non-numeric."""
+    if value is None:
+        return None
+    values = np.atleast_1d(np.asarray(value, dtype=object)).ravel()
+    values = np.array([v for v in values if v is not None])
+    if values.size == 0:
+        return None
+    try:
+        values = values.astype(np.float64)
+    except (TypeError, ValueError):
+        return None
+    ddof = 1 if values.size > 1 else 0
+    return float(values.mean()), float(values.std(ddof=ddof))
+
+
 def plot_model_metrics(
     metrics_sets,
     key: str,
     label: str | None = None,
     primary_differentiator_key: str = "model",
+    primary_differentiator_order: Sequence[str] | None = None,
     secondary_differentiator_key: str | None = None,
+    secondary_differentiator_order: Sequence[str] | None = None,
     name: str = "model_metrics",
     directory: str = ".",
 ) -> str:
-    """Strip plot of one metric per model variant, grouped on the x-axis by
-    the primary differentiator and coloured by the secondary one (reference
-    ``figures/cross_model.py:91-223``).  ``metrics_sets`` is a list of dicts
-    with the metric under ``key`` plus the differentiator fields."""
+    """Errorbar plot of one metric per model variant, grouped on the x-axis
+    by the primary differentiator and coloured by the secondary one
+    (reference ``figures/cross_model.py:91-223``).  ``metrics_sets`` is a
+    list of dicts with the metric under ``key`` — a scalar or a list of
+    per-run values (plotted as mean ± sd) — plus the differentiator
+    fields."""
     if not isinstance(metrics_sets, list):
         metrics_sets = [metrics_sets]
-    primary_values = sorted(
-        {str(m.get(primary_differentiator_key)) for m in metrics_sets}
-    )
-    secondary_values = sorted(
-        {str(m.get(secondary_differentiator_key)) for m in metrics_sets}
-    ) if secondary_differentiator_key else ["all"]
+    primary_values = list(primary_differentiator_order or [])
+    for metrics_set in metrics_sets:
+        value = str(metrics_set.get(primary_differentiator_key))
+        if value not in primary_values:
+            primary_values.append(value)
+    if secondary_differentiator_key:
+        secondary_values = list(secondary_differentiator_order or [])
+        for metrics_set in metrics_sets:
+            value = str(metrics_set.get(secondary_differentiator_key))
+            if value not in secondary_values:
+                secondary_values.append(value)
+    else:
+        secondary_values = ["all"]
     palette = seaborn.color_palette("husl", len(secondary_values))
     colours = dict(zip(secondary_values, palette))
 
     fig, ax = plt.subplots(figsize=(max(6, 1.3 * len(primary_values)), 4))
     seaborn.despine()
     seen = set()
+    # Offsets spread secondary values around each primary position
+    # (reference cross_model.py:117-151).
+    x_gap = 1.0
+    x_scale = len(secondary_values) - 1 + 2 * x_gap
     for metrics_set in metrics_sets:
-        value = metrics_set.get(key)
-        if value is None:
+        stats = _metric_mean_sd(metrics_set.get(key))
+        if stats is None:
             continue
+        mean, sd = stats
         primary = str(metrics_set.get(primary_differentiator_key))
         secondary = (
             str(metrics_set.get(secondary_differentiator_key))
             if secondary_differentiator_key
             else "all"
         )
-        x = primary_values.index(primary)
         offset = (
-            (secondary_values.index(secondary) + 1)
-            / (len(secondary_values) + 1)
-            - 0.5
-        ) * 0.6
-        ax.scatter(
-            x + offset,
-            value,
+            (secondary_values.index(secondary) + x_gap - x_scale / 2)
+            / x_scale
+        ) * 0.8
+        ax.errorbar(
+            x=primary_values.index(primary) + offset,
+            y=mean,
+            yerr=sd or None,
+            capsize=2,
+            marker="_",
+            markersize=10,
+            linestyle="",
             color=colours[secondary],
             label=secondary if secondary not in seen else None,
             zorder=3,
@@ -568,44 +604,126 @@ def plot_model_metric_sets(
     x_label: str | None = None,
     y_label: str | None = None,
     primary_differentiator_key: str = "model",
+    primary_differentiator_order: Sequence[str] | None = None,
+    secondary_differentiator_key: str | None = None,
+    secondary_differentiator_order: Sequence[str] | None = None,
+    special_cases: dict | None = None,
     other_method_metrics: dict | None = None,
     name: str = "model_metric_sets",
     directory: str = ".",
 ) -> str:
     """Scatter of metric pairs (e.g. ELBO vs ARI) per model variant, one
-    colour per primary-differentiator value, with optional horizontal
-    baselines for non-model methods (reference
-    ``figures/cross_model.py:226-330``)."""
+    colour per primary-differentiator value and one marker per secondary
+    one, values as mean ± sd over runs, with horizontal baseline lines or
+    bands for non-model methods (reference
+    ``figures/cross_model.py:226-456``).
+
+    ``other_method_metrics`` maps method name → {metric: [values]}; methods
+    with only ``y_key`` values become axhline/axhspan baselines, methods
+    with both keys become labelled points."""
     if not isinstance(metrics_sets, list):
         metrics_sets = [metrics_sets]
     if other_method_metrics:
         name += "-other_methods"
-    groups = sorted(
-        {str(m.get(primary_differentiator_key)) for m in metrics_sets}
-    )
+    special_cases = special_cases or {}
+    groups = list(primary_differentiator_order or [])
+    for metrics_set in metrics_sets:
+        value = str(metrics_set.get(primary_differentiator_key))
+        if value not in groups:
+            groups.append(value)
+    if secondary_differentiator_key:
+        marker_groups = list(secondary_differentiator_order or [])
+        for metrics_set in metrics_sets:
+            value = str(metrics_set.get(secondary_differentiator_key))
+            if value not in marker_groups:
+                marker_groups.append(value)
+    else:
+        marker_groups = ["all"]
     palette = seaborn.color_palette("husl", len(groups))
     colours = dict(zip(groups, palette))
-    markers = ["X", "s", "D", "o", "P", "^", "p", "*"]
+    marker_styles = ["X", "s", "D", "o", "P", "^", "p", "*"]
 
-    fig, ax = plt.subplots()
+    fig, ax = plt.subplots(figsize=(8, 5.5))
     seaborn.despine()
     seen = set()
     for metrics_set in metrics_sets:
-        x, y = metrics_set.get(x_key), metrics_set.get(y_key)
-        if x is None or y is None:
+        x_stats = _metric_mean_sd(metrics_set.get(x_key))
+        y_stats = _metric_mean_sd(metrics_set.get(y_key))
+        if x_stats is None or y_stats is None:
             continue
         group = str(metrics_set.get(primary_differentiator_key))
-        ax.scatter(
-            x,
-            y,
-            color=colours[group],
-            marker=markers[groups.index(group) % len(markers)],
-            label=group if group not in seen else None,
+        marker_group = (
+            str(metrics_set.get(secondary_differentiator_key))
+            if secondary_differentiator_key
+            else "all"
         )
-        seen.add(group)
+        marker = marker_styles[
+            marker_groups.index(marker_group) % len(marker_styles)
+        ]
+        colour = colours[group]
+        errorbar_colour = colour
+        changes = dict(special_cases.get(group, {}))
+        changes.update(special_cases.get(marker_group, {}))
+        if changes.get("errorbar_colour") == "darken":
+            errorbar_colour = seaborn.dark_palette(colour, n_colors=4)[2]
+        label_parts = []
+        if group not in seen:
+            label_parts.append(group)
+            seen.add(group)
+        if secondary_differentiator_key and marker_group not in seen:
+            label_parts.append(marker_group)
+            seen.add(marker_group)
+        ax.errorbar(
+            x=x_stats[0],
+            y=y_stats[0],
+            xerr=x_stats[1] or None,
+            yerr=y_stats[1] or None,
+            ecolor=errorbar_colour,
+            capsize=2,
+            color=colour,
+            marker=marker,
+            markersize=7,
+            linestyle="",
+            label="; ".join(label_parts) if label_parts else None,
+        )
+    baseline_line_styles = ["dashed", "dotted", "dashdot", "solid"]
     if other_method_metrics:
-        for method, value in other_method_metrics.items():
-            ax.axhline(value, linestyle="--", alpha=0.6, label=method)
+        for method, metric_values in other_method_metrics.items():
+            y_stats = _metric_mean_sd(metric_values.get(y_key))
+            if y_stats is None:
+                continue
+            x_stats = _metric_mean_sd(metric_values.get(x_key))
+            if x_stats is not None:
+                ax.errorbar(
+                    x=x_stats[0],
+                    y=y_stats[0],
+                    xerr=x_stats[1] or None,
+                    yerr=y_stats[1] or None,
+                    color="0.3",
+                    capsize=2,
+                    linestyle="",
+                    marker="v",
+                    label=method,
+                )
+            else:
+                style = baseline_line_styles[0]
+                baseline_line_styles.append(baseline_line_styles.pop(0))
+                ax.axhline(
+                    y_stats[0],
+                    color="0.3",
+                    linestyle=style,
+                    label=method,
+                    zorder=-1,
+                )
+                if y_stats[1]:
+                    ax.axhspan(
+                        ymin=y_stats[0] - y_stats[1],
+                        ymax=y_stats[0] + y_stats[1],
+                        facecolor="0.3",
+                        alpha=0.1,
+                        edgecolor=None,
+                        zorder=-2,
+                    )
     ax.set_xlabel(x_label or x_key)
     ax.set_ylabel(y_label or y_key)
     if len(seen) > 1 or other_method_metrics:

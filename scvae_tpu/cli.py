@@ -16,7 +16,10 @@ import scvae_tpu
 from scvae_tpu import analyses
 from scvae_tpu.analyses.prediction import PredictionSpecifications, predict_labels
 from scvae_tpu.data import DataSet
-from scvae_tpu.data.utilities import indices_for_evaluation_subset
+from scvae_tpu.data.utilities import (
+    build_directory_path,
+    indices_for_evaluation_subset,
+)
 from scvae_tpu.defaults import DEFAULTS as defaults
 from scvae_tpu.models import (
     GaussianMixtureVariationalAutoencoder,
@@ -64,6 +67,35 @@ def _load_data_set(
         return data_set, (training_set, validation_set, test_set)
     data_set.load()
     return data_set, None
+
+
+def _data_set_analyses_directory(
+    analyses_directory,
+    data_set,
+    split_data_set,
+    splitting_method,
+    splitting_fraction,
+):
+    """Compose ``<analyses>/<data set>/<preprocessing…>/<split…>`` so runs
+    on different data sets/preprocessings land in distinct subtrees that
+    cross-analysis can group by (reference ``cli.py:88-93, 181-186,
+    374-379``)."""
+    if analyses_directory is None:
+        analyses_directory = defaults["analyses"]["directory"]
+    if not split_data_set:
+        splitting_method = None
+        splitting_fraction = None
+    else:
+        if splitting_method is None:
+            splitting_method = defaults["data"]["splitting_method"]
+        if splitting_fraction is None:
+            splitting_fraction = defaults["data"]["splitting_fraction"]
+    return build_directory_path(
+        analyses_directory,
+        data_set,
+        splitting_method=splitting_method,
+        splitting_fraction=splitting_fraction,
+    )
 
 
 def _setup_model(
@@ -191,6 +223,13 @@ def analyse(
     data_sets = list(subsets) if subsets else [data_set]
     if isinstance(decomposition_methods, str):
         decomposition_methods = [decomposition_methods]
+    analyses_directory = _data_set_analyses_directory(
+        analyses_directory,
+        data_set,
+        split_data_set,
+        splitting_method,
+        splitting_fraction,
+    )
     analyses.analyse_data(
         data_sets,
         decomposition_methods=decomposition_methods,
@@ -267,6 +306,15 @@ def train(
         training_set, validation_set, _ = subsets
     else:
         training_set, validation_set = data_set, None
+
+    if analyses_directory:
+        analyses_directory = _data_set_analyses_directory(
+            analyses_directory,
+            training_set,
+            split_data_set,
+            splitting_method,
+            splitting_fraction,
+        )
 
     model = _setup_model(
         training_set,
@@ -468,6 +516,13 @@ def evaluate(
             versions_available.append(version)
     model_versions = versions_available
 
+    analyses_directory = _data_set_analyses_directory(
+        analyses_directory,
+        evaluation_set,
+        split_data_set,
+        splitting_method,
+        splitting_fraction,
+    )
     analyses.analyse_model(
         model, run_id=run_id or None, analyses_directory=analyses_directory
     )
@@ -592,10 +647,12 @@ def cross_analyse(
         model_excluded_strings=exclude_models,
         prediction_included_strings=include_prediction_methods,
         prediction_excluded_strings=exclude_prediction_methods,
+        additional_other_option=extra_model_specification_for_plots,
         no_prediction_methods_for_gmvae_in_plots=(
             no_prediction_methods_for_gmvae_in_plots
         ),
         epoch_cut_off=epoch_cut_off,
+        other_methods=other_methods,
         export_options=export_options,
         log_summary=log_summary,
     )

@@ -156,22 +156,28 @@ class BatchPipeline:
     def _make_batch(self, idx: np.ndarray) -> dict[str, Any]:
         # Duplicate fields referencing the same host array (x and t are
         # usually the same matrix) are densified and transferred once.
+        sharding = self.sharding
+        local_idx = idx
+        if sharding is not None:
+            if len(idx) % self._data_shards != 0:
+                # Non-divisible remainder batches fall back to replicated
+                # placement; replication means every process provides the
+                # full batch, so no local slicing.
+                sharding = self._replicated_sharding
+            else:
+                # Multi-host: each process densifies only the rows its
+                # addressable devices hold (SURVEY.md §7 hard part 5).
+                local_idx = process_local_rows(idx, sharding)
         placed_by_key: dict[tuple, Any] = {}
         batch: dict[str, Any] = {}
         for name, arr in self.arrays.items():
             wire_dtype = self._wire_dtypes.get(name)
             key = (id(arr), None if wire_dtype is None else np.dtype(wire_dtype).str)
             if key not in placed_by_key:
-                dense = densify_rows(arr, idx)
+                dense = densify_rows(arr, local_idx)
                 if wire_dtype is not None:
                     dense = dense.astype(wire_dtype)
-                if self.sharding is not None:
-                    sharding = self.sharding
-                    if len(idx) % self._data_shards != 0:
-                        sharding = self._replicated_sharding
-                    placed_by_key[key] = jax.device_put(dense, sharding)
-                else:
-                    placed_by_key[key] = jax.device_put(dense)
+                placed_by_key[key] = _put_global(dense, sharding)
             batch[name] = placed_by_key[key]
         return batch
 
@@ -279,7 +285,18 @@ def device_resident_data(
             )
             dense = np.concatenate([dense, pad], axis=0)
         if sharding is not None:
-            placed = jax.device_put(dense, sharding)
+            spec = getattr(sharding, "spec", None)
+            row_sharded = bool(spec) and spec[0] is not None
+            if jax.process_count() > 1 and row_sharded:
+                # Multi-host: transfer only this process's row block and
+                # assemble the global array from the per-process pieces.
+                p, n_proc = jax.process_index(), jax.process_count()
+                per_process = dense.shape[0] // n_proc
+                placed = jax.make_array_from_process_local_data(
+                    sharding, dense[p * per_process:(p + 1) * per_process]
+                )
+            else:
+                placed = jax.device_put(dense, sharding)
         else:
             placed = jax.device_put(dense)
         placed_by_id[key] = placed

@@ -51,8 +51,12 @@ def build_directory_path(
             pieces.append("no_preprocessing")
 
     if splitting_method:
+        if splitting_method == "default":
+            splitting_method = getattr(
+                data_set, "default_splitting_method", splitting_method
+            )
         split_part = normalise_string(splitting_method)
-        if splitting_fraction is not None:
+        if splitting_method != "indices" and splitting_fraction is not None:
             split_part += "_{}".format(splitting_fraction)
         pieces.append("split-" + split_part)
 

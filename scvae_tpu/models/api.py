@@ -238,8 +238,19 @@ class VariationalAutoencoder:
             self.log_directory(run_id=run_id, early_stopping=True)
         )
 
-    def number_of_epochs_trained(self, run_id: str | None = None) -> int:
-        return training.resume_start_epoch(self.log_directory(run_id=run_id))
+    def number_of_epochs_trained(
+        self,
+        run_id: str | None = None,
+        early_stopping: bool = False,
+        best_model: bool = False,
+    ) -> int:
+        return training.resume_start_epoch(
+            self.log_directory(
+                run_id=run_id,
+                early_stopping=early_stopping,
+                best_model=best_model,
+            )
+        )
 
     def learning_curves(
         self, run_id: str | None = None

@@ -59,11 +59,30 @@ def wait_for_pending_writes() -> None:
         _pending.pop(0).result()
 
 
+def _is_write_process() -> bool:
+    """Multi-host runs share one filesystem view of the run directory;
+    only process 0 performs file writes (every process still participates
+    in any device→host gathers, which may involve collectives)."""
+    return jax.process_index() == 0
+
+
+def _gather_leaf(leaf: Any) -> np.ndarray:
+    """Device→host copy that also works for leaves sharded across
+    processes (tensor-parallel reconstruction heads under multi-host):
+    reshard to fully-replicated first, which inserts the all-gather."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(leaf.sharding.mesh, PartitionSpec())
+        leaf = jax.jit(lambda x: x, out_shardings=replicated)(leaf)
+    return np.asarray(leaf)
+
+
 def _flatten(tree: Any) -> dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = jax.tree_util.keystr(path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = _gather_leaf(leaf)
     return flat
 
 
@@ -95,6 +114,8 @@ def save_checkpoint(
     checkpoint operations), so training never blocks on disk.
     """
     flat = _flatten(tree)  # device→host copies happen here, synchronously
+    if not _is_write_process():
+        return
     metadata: dict[str, Any] = {"epoch": int(epoch)}
     if step is not None:
         metadata["step"] = int(step)
@@ -151,6 +172,8 @@ def copy_checkpoint_version(
 ) -> None:
     """Snapshot the main checkpoint into a version subdirectory (replaces
     the reference's ``copy_model_directory``)."""
+    if not _is_write_process():
+        return
     if async_write:
         _submit(_copy_version, source_directory, target_directory)
     else:
@@ -165,6 +188,8 @@ def _remove(directory: str) -> None:
 
 
 def remove_checkpoint(directory: str, *, async_write: bool = False) -> None:
+    if not _is_write_process():
+        return
     if async_write:
         _submit(_remove, directory)
     else:
@@ -182,6 +207,9 @@ CENTROIDS_FILE = "centroids.json"
 def append_centroids(directory: str, centroids: dict[str, Any]) -> None:
     """Append one epoch's centroid snapshot ({probabilities, means,
     covariance_matrices} arrays) to the run's centroid history."""
+    centroids = {k: _gather_leaf(v) for k, v in centroids.items()}
+    if not _is_write_process():
+        return
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, CENTROIDS_FILE)
     history: list = []
@@ -233,6 +261,9 @@ ARRAY_SERIES_FILE = "array_series.json"
 def append_array_series(directory: str, name: str, vector: Any) -> None:
     """Append one epoch's vector (e.g. the (D,) per-neuron KL) to the named
     series in the run directory."""
+    vector = _gather_leaf(vector)
+    if not _is_write_process():
+        return
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, ARRAY_SERIES_FILE)
     series: dict = {}
@@ -288,6 +319,8 @@ def append_learning_curves(
     epoch_metrics: dict[str, dict[str, float]],
 ) -> None:
     """``epoch_metrics``: {"training": {"lower_bound": …}, "validation": …}."""
+    if not _is_write_process():
+        return
     os.makedirs(directory, exist_ok=True)
     curves = load_learning_curves(directory)
     for kind, metrics in epoch_metrics.items():

@@ -15,6 +15,16 @@ both data paths:
   (:class:`scvae_tpu.data.pipeline.BatchPipeline`);
 * device-resident — whole dataset in HBM, one ``lax.scan`` per epoch
   (:func:`scvae_tpu.models.step.make_train_epoch`), the TPU fast path.
+
+Multi-host (SURVEY.md §7 hard part 5): the validation bound driving the
+early-stopping decision is computed inside ``jit`` over globally-sharded
+arrays, so GSPMD inserts the cross-process reductions and every process
+observes the identical replicated value — the single-controller
+equivalent of "psum the metric before the host-0 decision"; no explicit
+collective is needed on the host.  File writes (checkpoints, curves)
+are gated to process 0 inside :mod:`scvae_tpu.models.checkpoints`.
+``tests/test_multihost.py`` drives this end-to-end with a 2-process
+gloo loopback and asserts curve equality with single-process execution.
 """
 
 from __future__ import annotations

@@ -260,6 +260,9 @@ class TestCrossAnalysisAggregation:
         elbo,
         ari=None,
         epochs=5,
+        method="k-means",
+        classes=5,
+        silhouette=None,
     ):
         import gzip
         import pickle
@@ -280,13 +283,22 @@ class TestCrossAnalysisAggregation:
             pickle.dump(metrics_dict, f)
         if ari is not None:
             prediction = {
+                "prediction method": method,
+                "number of classes": classes,
                 "clustering metric values": {
-                    "adjusted Rand index": {"clusters": ari},
+                    "adjusted Rand index": {
+                        "clusters": ari,
+                        "clusters; superset": ari + 0.05,
+                    },
                     "adjusted mutual information": {"clusters": ari - 0.01},
-                }
+                    "silhouette score": {"clusters": silhouette},
+                },
             }
             with gzip.open(
-                os.path.join(directory, "test-prediction-kmeans.pkl.gz"), "w"
+                os.path.join(
+                    directory, f"test-prediction-{method}.pkl.gz"
+                ),
+                "w",
             ) as f:
                 pickle.dump(prediction, f)
 
@@ -333,13 +345,81 @@ class TestCrossAnalysisAggregation:
             "poisson",
             "negative_binomial",
         }
-        cross_dir = base / "cross_analysis"
+        assert set(table["data set"]) == {"dev"}
+        cross_dir = base / "cross_analysis" / "all"
         assert (cross_dir / "comparison.csv").exists()
-        assert (cross_dir / "summary.log").exists()
-        assert (cross_dir / "correlations.png").exists()
-        assert (cross_dir / "elbo_heat_map.png").exists()
-        assert (cross_dir / "model_metrics_elbo.png").exists()
-        assert (cross_dir / "model_metric_sets.png").exists()
+        assert (cross_dir / "all.log").exists()
+        # Three cross-model figure families + correlations (round-2 item 8)
+        assert (cross_dir / "correlations_dev.png").exists()
+        assert (cross_dir / "elbo_heat_map_dev.png").exists()
+        assert (cross_dir / "model_metrics_dev_elbo.png").exists()
+        assert (cross_dir / "model_metrics_dev_enre.png").exists()
+        assert (cross_dir / "model_metrics_dev_kl_z.png").exists()
+        assert (
+            cross_dir / "model_metric_sets_dev_standard_ari_elbo.png"
+        ).exists()
+        assert (
+            cross_dir / "model_metric_sets_dev_superset_ari_elbo.png"
+        ).exists()
+        # Summary log carries the aggregated comparison table
+        log = (cross_dir / "all.log").read_text()
+        assert "Comparison" in log
+        assert "GMVAE(5)" in log
+        assert "VAE(G)" in log
+        assert "kM(5)" in log  # clustering-method title
+        assert "OP" in log  # best → optimal parameters abbreviation
+
+    def test_runs_aggregate_to_mean_sd_and_baselines(self, tmp_path):
+        """≥3 named runs aggregate into a mean±sd comparison row; other-
+        method baselines appear in the log and the metric-set figures
+        (reference cross_analysis.py:536-546, 1385-1529)."""
+        import gzip
+        import pickle
+
+        base = tmp_path / "analyses"
+        ds = "development/no_preprocessing/split-random_0.9"
+        for run, elbo in (("a", -100.0), ("b", -102.0), ("c", -104.0)):
+            self._write_run(
+                base,
+                f"{ds}/VAE/gaussian/negative_binomial-l_10-h_100-mc_1-iw_1"
+                f"/run_{run}/e_20-mc_1-iw_1",
+                elbo,
+                0.6,
+                epochs=20,
+                silhouette=0.3,
+            )
+        # Baseline method directory inside the data-set directory
+        method_dir = base / ds / "seurat"
+        os.makedirs(method_dir, exist_ok=True)
+        with gzip.open(
+            os.path.join(method_dir, "test-prediction-seurat.pkl.gz"), "w"
+        ) as f:
+            pickle.dump(
+                {
+                    "prediction method": "Seurat",
+                    "number of classes": 7,
+                    "clustering metric values": {
+                        "adjusted Rand index": {"clusters": 0.55}
+                    },
+                },
+                f,
+            )
+
+        table = cross_analyse(
+            str(base), other_methods=["seurat"], log_summary=True
+        )
+        assert len(table) == 3  # one flat row per run
+        cross_dir = base / "cross_analysis" / "all"
+        log = (cross_dir / "all.log").read_text()
+        assert "-102±2" in log  # mean ± sd over the three runs
+        assert "Other methods:" in log
+        assert "Seurat" in log
+        baseline_figures = [
+            p
+            for p in os.listdir(cross_dir)
+            if "other_methods" in p and p.endswith(".png")
+        ]
+        assert baseline_figures
 
     def test_epoch_cut_off_and_string_filters(self, tmp_path):
         base = tmp_path / "analyses"
@@ -364,7 +444,7 @@ class TestCrossAnalysisAggregation:
 
         table = cross_analyse(
             str(base),
-            prediction_excluded_strings=["kmeans"],
+            prediction_excluded_strings=["k-means"],
             log_summary=False,
         )
         assert "ARI" not in table.columns

@@ -98,9 +98,9 @@ def test_cli_end_to_end(tmp_path):
 
     status = main(["cross-analyse", analyses_dir, "--log-summary"])
     assert status == 0
-    assert os.path.exists(
-        os.path.join(analyses_dir, "cross_analysis", "comparison.csv")
-    )
+    cross_dir = os.path.join(analyses_dir, "cross_analysis", "all")
+    assert os.path.exists(os.path.join(cross_dir, "comparison.csv"))
+    assert os.path.exists(os.path.join(cross_dir, "all.log"))
 
 
 def test_cli_train_evaluate_with_mesh(tmp_path):

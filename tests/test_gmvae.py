@@ -137,6 +137,11 @@ class TestObjective:
         )
 
     def test_free_nats_floor(self, rng, np_rng):
+        """Pins the reference's free-nats semantics
+        (gaussian_mixture_variational_autoencoder.py:3391-3398): the floor
+        is applied to the BATCH-MEAN KL_y at proportion × H(p_y) and only
+        modifies the weighted training objective, never the reported
+        bound."""
         config = make_config(
             proportion_of_free_nats_for_y_kl_divergence=1.0
         )
@@ -146,9 +151,28 @@ class TestObjective:
             config, params, state, batch, rng, training=False,
             warm_up_weight=1.0,
         )
-        # With proportion=1 the modified KL_y is floored at log(K):
-        # weighted bound uses max(kl_y, log K) ≥ actual kl_y
-        assert float(m["lower_bound_weighted"]) <= float(m["lower_bound"]) + 1e-4
+        k = config.number_of_latent_clusters
+        kl_y_modified = max(float(m["kl_divergence_y"]), float(np.log(k)))
+        np.testing.assert_allclose(
+            float(m["lower_bound_weighted"]),
+            float(m["reconstruction_error"])
+            - (float(m["kl_divergence_z"]) + kl_y_modified),
+            rtol=1e-5,
+        )
+        # The unweighted bound keeps the true (unfloored) KL_y.
+        np.testing.assert_allclose(
+            float(m["lower_bound"]),
+            float(m["reconstruction_error"])
+            - float(m["kl_divergence_z"])
+            - float(m["kl_divergence_y"]),
+            rtol=1e-5,
+        )
+        # At init q(y|x) ≈ uniform so KL_y ≈ 0 < log K: the floor binds.
+        assert float(m["kl_divergence_y"]) < float(np.log(k))
+        assert (
+            float(m["lower_bound_weighted"])
+            < float(m["lower_bound"]) - 0.5 * float(np.log(k))
+        )
 
     def test_warm_up_removes_kl(self, rng, np_rng):
         config = make_config()

@@ -1,0 +1,181 @@
+"""Two-process ``jax.distributed`` loopback test (SURVEY.md §7 hard part 5).
+
+Launches two CPU processes (4 virtual devices each, gloo collectives) that
+train the SAME model through the user-facing ``train()`` API over one
+8-device global mesh, with per-process shard feeding
+(``jax.make_array_from_process_local_data``) and process-0-gated
+checkpoint/curve writes, then asserts the learning curve matches a
+single-process 8-device run bit-for-tolerance.
+
+The validation bound that drives early stopping is computed inside ``jit``
+over globally-sharded arrays, so GSPMD inserts the cross-process
+reductions and every process reaches the identical stopping decision — the
+multi-host equivalent of the reference's host-side accumulation loops
+(``variational_autoencoder.py:2016-2055``), which had no multi-process
+story at all.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import json, os, sys
+
+process_id = int(sys.argv[1])
+port = sys.argv[2]
+data_dir = sys.argv[3]
+models_dir = sys.argv[4]
+out_path = sys.argv[5]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=2,
+    process_id=process_id,
+)
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+from scvae_tpu.data import DataSet
+from scvae_tpu.models import VariationalAutoencoder
+from scvae_tpu.parallel import create_mesh
+
+data_set = DataSet(
+    "development", directory=data_dir, example_filter=["random", 512]
+)
+training_set, validation_set, _ = data_set.split(method="random", fraction=0.9)
+
+model = VariationalAutoencoder(
+    feature_size=25,
+    latent_size=2,
+    hidden_sizes=[16],
+    reconstruction_distribution="negative binomial",
+    log_directory=models_dir,
+)
+result = model.train(
+    training_set,
+    validation_set,
+    number_of_epochs=3,
+    minibatch_size=64,
+    mesh=create_mesh(),  # all 8 global devices, pure DP
+    verbose=False,
+)
+if process_id == 0:
+    with open(out_path, "w") as f:
+        json.dump(result.history, f)
+print(f"worker {process_id} done", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_loopback_matches_single_process(tmp_path):
+    data_dir = str(tmp_path / "data")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # Pre-build the dataset + split caches so the workers only read.
+    from scvae_tpu.data import DataSet
+
+    data_set = DataSet(
+        "development", directory=data_dir, example_filter=["random", 512]
+    )
+    training_set, validation_set, _ = data_set.split(
+        method="random", fraction=0.9
+    )
+
+    # Single-process 8-device run (the pytest process already has 8
+    # virtual CPU devices via conftest).
+    from scvae_tpu.models import VariationalAutoencoder
+    from scvae_tpu.parallel import create_mesh
+
+    single_model = VariationalAutoencoder(
+        feature_size=25,
+        latent_size=2,
+        hidden_sizes=[16],
+        reconstruction_distribution="negative binomial",
+        log_directory=str(tmp_path / "models_single"),
+    )
+    single = single_model.train(
+        training_set,
+        validation_set,
+        number_of_epochs=3,
+        minibatch_size=64,
+        mesh=create_mesh(),
+        verbose=False,
+    )
+
+    # Two-process run over the same 8-device logical mesh.
+    worker_path = tmp_path / "worker.py"
+    worker_path.write_text(WORKER)
+    port = _free_port()
+    out_path = str(tmp_path / "history.json")
+    models_dir = str(tmp_path / "models_multi")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                str(worker_path),
+                str(process_id),
+                str(port),
+                data_dir,
+                models_dir,
+                out_path,
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for process_id in (0, 1)
+    ]
+    outputs = []
+    for proc in procs:
+        try:
+            out, _ = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise
+        outputs.append(out.decode(errors="replace"))
+    for process_id, (proc, out) in enumerate(zip(procs, outputs)):
+        assert proc.returncode == 0, (
+            f"worker {process_id} failed:\n{out[-4000:]}"
+        )
+
+    with open(out_path) as f:
+        multi_history = json.load(f)
+
+    for kind in ("training", "validation"):
+        a = np.asarray(single.history[kind]["lower_bound"])
+        b = np.asarray(multi_history[kind]["lower_bound"])
+        assert a.shape == b.shape
+        # gloo all-reduce ordering differs from the single-process
+        # reduction; ~1e-4 relative agreement after 3 epochs is exact
+        # modulo float summation order.
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-2,
+            err_msg=f"{kind} curve diverged between 1-process and "
+            f"2-process execution",
+        )
+
+    # Process-0-gated writes: exactly one consistent checkpoint tree.
+    assert os.path.exists(
+        os.path.join(models_dir, single_model.name, "checkpoint.npz")
+    )
