@@ -64,7 +64,13 @@ def densify_rows(values, indices: np.ndarray) -> np.ndarray:
     rows = values[indices]
     if scipy.sparse.issparse(rows):
         rows = rows.toarray()
-    return np.ascontiguousarray(np.asarray(rows, np.float32))
+    rows = np.asarray(rows)
+    if not np.issubdtype(rows.dtype, np.integer):
+        # Floats narrow to f32 for the wire; integer fields (batch_indices,
+        # narrow-dtype counts) keep their dtype — the device step promotes
+        # counts and one-hots indices itself.
+        rows = rows.astype(np.float32, copy=False)
+    return np.ascontiguousarray(rows)
 
 
 class BatchPipeline:

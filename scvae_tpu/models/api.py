@@ -375,8 +375,6 @@ class VariationalAutoencoder:
         remainder slice must exclude — and the remainder batch is placed
         replicated so every chip computes it identically.
         """
-        import jax.numpy as jnp
-
         idx = step.sequential_batches(n, batch_size)
         n_full = int(idx.size)
         scalar_keys = step.EVAL_METRIC_KEYS
@@ -391,14 +389,9 @@ class VariationalAutoencoder:
                 out = {k: 0.0 for k in scalar_keys}
             remainder = n - n_full
             if remainder:
-                batch = {
-                    k: (
-                        v[n_full:n].astype(jnp.float32)
-                        if jnp.issubdtype(v.dtype, jnp.integer)
-                        else v[n_full:n]
-                    )
-                    for k, v in data.items()
-                }
+                batch = step.cast_batch_to_f32(
+                    {k: v[n_full:n] for k, v in data.items()}
+                )
                 if mesh is not None:
                     from scvae_tpu.parallel import replicate_to_mesh
 
