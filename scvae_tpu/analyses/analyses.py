@@ -316,6 +316,19 @@ def analyse_model(
                 curves, model_type=model.type, directory=directory
             )
         )
+        # Separate per-loss-set overlays (reference analyses.py:373-392).
+        loss_sets: list = [["lower_bound", "reconstruction_error"]]
+        if model.type == "GMVAE":
+            loss_sets.append("kl_divergence_z")
+            loss_sets.append("kl_divergence_y")
+        else:
+            loss_sets.append("kl_divergence")
+        for loss_set in loss_sets:
+            results["figures"].append(
+                figures.plot_separate_learning_curves(
+                    curves, loss=loss_set, directory=directory
+                )
+            )
         for kind, kind_curves in curves.items():
             if "accuracy" in kind_curves and "accuracies" in included:
                 results["figures"].append(

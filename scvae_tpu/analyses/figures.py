@@ -133,6 +133,75 @@ def plot_accuracy_evolution(
     return _save(fig, name, directory)
 
 
+def plot_separate_learning_curves(
+    curves: dict[str, dict[str, list[float]]],
+    loss,
+    name: str = "learning_curves",
+    directory: str = ".",
+) -> str:
+    """One figure overlaying the chosen loss curve(s) across subsets —
+    training solid, validation dashed (reference
+    ``learning_curves.py:144-229``)."""
+    losses = list(loss) if isinstance(loss, (list, tuple)) else [loss]
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for kind in sorted(curves):
+        line_style = "solid" if kind == "training" else "dashed"
+        for metric in losses:
+            values = curves[kind].get(metric)
+            if values is None:
+                continue
+            ax.plot(
+                np.arange(1, len(values) + 1),
+                values,
+                linestyle=line_style,
+                label=f"{metric.replace('_', ' ')} ({kind} set)",
+            )
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("nat")
+    handles, labels = ax.get_legend_handles_labels()
+    if handles:
+        labels, handles = zip(*sorted(zip(labels, handles)))
+        ax.legend(handles, labels, frameon=False, fontsize="small")
+    full_name = "-".join([name] + losses)
+    return _save(fig, full_name, directory)
+
+
+def plot_probabilities(
+    posterior_probabilities=None,
+    prior_probabilities=None,
+    x_label: str = "$k$",
+    y_label: str | None = None,
+    name: str = "probabilities",
+    directory: str = ".",
+) -> str:
+    """Bar chart of mixture probabilities per cluster: posterior as bars,
+    prior as dashed level lines (reference ``histograms.py:259-334``)."""
+    if posterior_probabilities is None and prior_probabilities is None:
+        raise ValueError("No posterior nor prior probabilities given.")
+    fig, ax = plt.subplots(figsize=(7, 4))
+    if posterior_probabilities is not None:
+        posterior_probabilities = np.asarray(posterior_probabilities)
+        k_range = np.arange(len(posterior_probabilities))
+        ax.bar(k_range, posterior_probabilities, color="C0")
+        ax.set_ylabel(y_label or r"$\pi_{\phi}^k$")
+        if prior_probabilities is not None:
+            prior_probabilities = np.asarray(prior_probabilities)
+            for k, p in enumerate(prior_probabilities):
+                ax.plot([k - 0.4, k + 0.4], [p, p], "k--")
+            ax.plot([], [], "k--", label=r"$\pi_{\theta}^k$")
+            ax.legend(frameon=False)
+    else:
+        prior_probabilities = np.asarray(prior_probabilities)
+        ax.bar(
+            np.arange(len(prior_probabilities)),
+            prior_probabilities,
+            color="C0",
+        )
+        ax.set_ylabel(y_label or r"$\pi_{\theta}^k$")
+    ax.set_xlabel(x_label)
+    return _save(fig, name, directory)
+
+
 def plot_centroid_probabilities_evolution(
     probabilities: np.ndarray,
     name: str = "centroid_probabilities_evolution",

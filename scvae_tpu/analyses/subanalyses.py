@@ -208,6 +208,7 @@ def analyse_centroid_probabilities(
     ``subanalyses.py:1068-1142``)."""
     os.makedirs(analyses_directory, exist_ok=True)
     saved = []
+    snapshots: dict[str, np.ndarray] = {}
     for distribution, dist_centroids in (centroids or {}).items():
         if not dist_centroids:
             continue
@@ -216,13 +217,30 @@ def analyse_centroid_probabilities(
             continue
         probabilities = np.asarray(probabilities)
         if probabilities.ndim == 1:
-            probabilities = probabilities[None, :]
+            snapshots[distribution] = probabilities
+            continue
+        snapshots[distribution] = probabilities[-1]
         plot_name = "centroid_probabilities-{}{}".format(
             distribution, f"-{name}" if name else ""
         )
         saved.append(
             figures.plot_centroid_probabilities_evolution(
                 probabilities,
+                name=plot_name,
+                directory=analyses_directory,
+            )
+        )
+    if snapshots:
+        # Posterior-vs-prior bar chart of the (final) mixture probabilities
+        # (reference subanalyses.py:1068-1142 via plot_probabilities).
+        parts = [k for k in ("posterior", "prior") if k in snapshots]
+        plot_name = "probabilities-" + "-".join(parts)
+        if name:
+            plot_name = f"{name}-{plot_name}"
+        saved.append(
+            figures.plot_probabilities(
+                snapshots.get("posterior"),
+                snapshots.get("prior"),
                 name=plot_name,
                 directory=analyses_directory,
             )

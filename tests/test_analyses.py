@@ -519,6 +519,10 @@ class TestAllAnalysisKindsProduceArtifacts:
         assert "kl_divergence_evolution" in model_names
         assert "centroid_means_evolution" in model_names
         assert "centroid_covariance_evolution" in model_names
+        # Separate per-loss-set learning-curve overlays
+        # (reference analyses.py:373-392)
+        assert "learning_curves_lower_bound_reconstruction_error" in model_names
+        assert "learning_curves_kl_divergence" in model_names
 
         outputs = model.evaluate(
             test, minibatch_size=64, output_versions="all", verbose=False

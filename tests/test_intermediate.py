@@ -131,6 +131,19 @@ class TestSubanalyses:
             analyses_directory=str(tmp_path / "a"),
         )
         assert saved
+        assert any("probabilities_prior" in s for s in saved)
+
+    def test_centroid_probabilities_posterior_vs_prior(self, tmp_path):
+        # Posterior bars with dashed prior levels in one figure
+        # (reference subanalyses.py:1068-1142 / histograms.py:259).
+        saved = subanalyses.analyse_centroid_probabilities(
+            {
+                "prior": {"probabilities": np.array([0.5, 0.5])},
+                "posterior": {"probabilities": np.array([[0.3, 0.7]])},
+            },
+            analyses_directory=str(tmp_path / "a"),
+        )
+        assert any("probabilities_posterior_prior" in s for s in saved)
 
     def test_predictions_export(self, tmp_path, dev_sets):
         _, _, test_set = dev_sets
