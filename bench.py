@@ -9,18 +9,27 @@ training, ``docs/guide.rst:205-211``).  The same line carries, under
 * ``vae_nb``            — config 2: VAE, negative binomial (headline)
 * ``vae_zinb_cat``      — config 3: VAE, ZINB + piecewise-categorical heads
 * ``gmvae_nb``          — config 4: GMVAE-NB (K=10) training throughput
+                          (batch sweep 512/2048, best reported)
 * ``gmvae_ari``         — config 4: GMVAE clustering ARI vs labels on the
-                          seeded ``development`` set (quality, not speed)
+                          seeded ``development`` set (quality, not speed;
+                          training bounded to ``ARI_TRAIN_BUDGET_S``)
 * ``iw_evaluation``     — config 5: IW-ELBO (R=8) evaluation throughput
 
-plus ``tflops`` / ``mfu`` for the headline (achieved model FLOP/s —
-analytic 6·MAC per trained cell, since XLA's cost analysis misses the
-matmuls inside the fused Pallas custom-call — against the chip's bf16
-peak).
+Timing methodology (round 3): the tunnelled TPU platform charges a
+~26 ms dispatch+fetch round trip on every synchronous host read, which at
+33 steps/epoch added ~0.8 ms/step to round-2 numbers.  Throughput is now
+**slope-timed**: K₂ and K₁ epochs are dispatched back-to-back with ONE
+final host fetch each, and the per-step time is
+(t(K₂) − t(K₁)) / ((K₂−K₁)·steps) — pure steady-state device time, which
+is what production training achieves with deferred metric fetching
+(``training.py`` fetch_mode="deferred").  The residual RTT is reported as
+``dispatch_fetch_floor_ms`` for transparency.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "cells/sec/chip",
-     "vs_baseline": N, "tflops": N, "mfu": N, "configs": {...}}
+Robustness (round-2 post-mortem: rc=124 with no JSON): the result line is
+printed IMMEDIATELY after the headline config and re-printed, updated,
+after every further config; each config runs under an explicit time
+budget and a failure/budget-miss records an error entry instead of
+sinking the record.  Parse the LAST JSON line.
 
 ``vs_baseline`` is measured throughput divided by REFERENCE_BASELINE — an
 estimate of the reference TF1 implementation's training throughput on
@@ -33,6 +42,7 @@ round-over-round comparison only; see BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -44,11 +54,23 @@ N_CELLS = 68_579  # 10x-PBMC-68k size
 N_GENES = 2048
 LATENT = 100
 HIDDEN = (256, 256)
-BATCH = 2048  # measured sweet spot on v5e
-TIMING_EPOCHS = 6
+BATCH = 2048
 
-# bf16 peak TFLOP/s by device kind (public spec sheets); used only for the
-# MFU estimate — unknown kinds report mfu = null.
+# Per-config wall budgets (seconds).  The driver's overall budget killed
+# round 2 mid-ARI; every config now checks in before starting and the ARI
+# config bounds its own training time.
+TOTAL_BUDGET_S = float(os.environ.get("SCVAE_BENCH_BUDGET_S", 1500))
+ARI_TRAIN_BUDGET_S = float(os.environ.get("SCVAE_ARI_BUDGET_S", 60))
+
+_START = time.monotonic()
+
+
+def remaining_budget() -> float:
+    return TOTAL_BUDGET_S - (time.monotonic() - _START)
+
+
+# bf16 peak TFLOP/s by device kind (public spec sheets); the MFU basis is
+# stated in the emitted JSON (``mfu_basis``).
 BF16_PEAK_TFLOPS = {
     "TPU v4": 275.0,
     "TPU v5 lite": 197.0,
@@ -76,27 +98,6 @@ def make_counts(n_cells: int, n_genes: int, density: float = 0.07):
     return scipy.sparse.csr_matrix(
         (vals, (rows, cols)), shape=(n_cells, n_genes)
     )
-
-
-def time_epochs(run_epoch, n_epochs: int = TIMING_EPOCHS) -> float:
-    """Best-epoch wall time over ``n_epochs`` timed epochs (the tunnelled
-    chip is shared, so the fastest epoch is closest to capability)."""
-    times = []
-    for e in range(n_epochs):
-        start = time.perf_counter()
-        run_epoch(e)
-        times.append(time.perf_counter() - start)
-    return min(times)
-
-
-def extract_flops(compiled) -> float | None:
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
-    except Exception:
-        return None
 
 
 def analytic_train_flops_per_cell(config) -> float:
@@ -128,57 +129,95 @@ def analytic_train_flops_per_cell(config) -> float:
     return 6.0 * macs
 
 
-def bench_training(config, data, n_cells: int, batch: int, seed: int = 0):
-    """Steady-state training throughput for one model config on
-    device-resident data; returns (cells/sec, flops_per_epoch)."""
-    import jax
+class EpochRunner:
+    """Dispatch n training epochs back-to-back with ONE final host fetch."""
 
-    from scvae_tpu.models import create_train_state, make_optimizer
-    from scvae_tpu.models import gmvae, vae
-    from scvae_tpu.models.step import epoch_permutation, make_train_epoch
+    def __init__(self, config, data, n_cells, batch, seed=0):
+        import jax
 
-    module = gmvae if config.__class__.__name__ == "GMVAEConfig" else vae
-    rng = jax.random.PRNGKey(seed)
-    params, state = module.init(config, rng)
-    optimizer = make_optimizer(1e-4)
-    train_state = create_train_state(params, state, optimizer)
+        from scvae_tpu.models import create_train_state, make_optimizer
+        from scvae_tpu.models import gmvae, vae
+        from scvae_tpu.models.step import epoch_permutation, make_train_epoch
 
-    def loss(params, model_state, batch, rng, warm_up_weight):
-        return module.loss_fn(
-            config, params, model_state, batch, rng,
-            warm_up_weight=warm_up_weight,
+        module = (
+            gmvae if config.__class__.__name__ == "GMVAEConfig" else vae
         )
+        rng = jax.random.PRNGKey(seed)
+        params, state = module.init(config, rng)
+        optimizer = make_optimizer(1e-4)
+        self.jax = jax
+        self.config = config
+        self.data = data
+        self.batch = batch
+        self.n_cells = n_cells
+        self.steps_per_epoch = n_cells // batch
+        self.state = create_train_state(params, state, optimizer)
+        self.perm_rng = np.random.RandomState(1)
+        self.epoch_permutation = epoch_permutation
 
-    train_epoch = make_train_epoch(loss, optimizer)
-    perm_rng = np.random.RandomState(1)
-    steps_per_epoch = n_cells // batch
+        def loss(params, model_state, batch, rng, warm_up_weight):
+            return module.loss_fn(
+                config, params, model_state, batch, rng,
+                warm_up_weight=warm_up_weight,
+            )
 
-    # Analytic model FLOPs (XLA's cost analysis misses matmuls inside the
-    # fused Pallas custom-call, and AOT-compiling the whole epoch scan is
-    # too slow on the tunnelled platform).
-    flops_per_epoch = (
-        analytic_train_flops_per_cell(config) * batch * steps_per_epoch
-    )
-    state_box = [train_state]
+        self.train_epoch = make_train_epoch(loss, optimizer)
+        self._e = 0
 
-    def run_epoch(e):
-        perm = epoch_permutation(n_cells, batch, perm_rng)
-        new_state, metrics = train_epoch(
-            state_box[0], data, perm, jax.random.PRNGKey(3 + e), 1.0
-        )
-        state_box[0] = new_state
-        # NOTE: a host fetch (float()) is the reliable sync point on the
-        # tunnelled TPU platform; block_until_ready alone returns early.
+    def run(self, n_epochs: int) -> float:
+        """Run n epochs; returns the last epoch's mean lower bound (the
+        float() is the single sync point)."""
+        metrics = None
+        for _ in range(n_epochs):
+            perm = self.epoch_permutation(
+                self.n_cells, self.batch, self.perm_rng
+            )
+            self.state, metrics = self.train_epoch(
+                self.state, self.data, perm,
+                self.jax.random.PRNGKey(3 + self._e), 1.0,
+            )
+            self._e += 1
         value = float(metrics["lower_bound"])
-        assert np.isfinite(value)
-
-    run_epoch(-1)  # warmup
-    best = time_epochs(run_epoch)
-    return steps_per_epoch * batch / best, flops_per_epoch, best
+        assert np.isfinite(value), value
+        return value
 
 
-def bench_iw_evaluation(config, data, n_cells: int, batch: int, n_iw: int):
-    """IW-ELBO evaluation throughput (BASELINE config 5)."""
+def slope_time_epochs(runner, k1=2, k2=8, reps=3):
+    """Per-epoch steady-state seconds via the slope between k1- and
+    k2-epoch dispatch groups (one sync fetch each), best of ``reps``."""
+    runner.run(1)  # warm up (compile + first-touch)
+    t1 = t2 = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        runner.run(k1)
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        runner.run(k2)
+        t2 = min(t2, time.perf_counter() - t0)
+    per_epoch = (t2 - t1) / (k2 - k1)
+    floor_ms = max(0.0, (t1 - k1 * per_epoch)) * 1e3
+    return per_epoch, floor_ms
+
+
+def bench_training(config, data, n_cells, batch, budget_key, configs):
+    runner = EpochRunner(config, data, n_cells, batch)
+    per_epoch, floor_ms = slope_time_epochs(runner)
+    steps = runner.steps_per_epoch
+    cells_per_sec = steps * batch / per_epoch
+    configs[budget_key] = {
+        "cells_per_sec": round(cells_per_sec, 1),
+        "ms_per_step": round(1000 * per_epoch / steps, 4),
+        "batch": batch,
+        "dispatch_fetch_floor_ms": round(floor_ms, 2),
+    }
+    flops_per_epoch = (
+        analytic_train_flops_per_cell(config) * batch * steps
+    )
+    return cells_per_sec, flops_per_epoch / per_epoch
+
+
+def bench_iw_evaluation(config, data, n_cells, batch, n_iw):
+    """IW-ELBO evaluation throughput (BASELINE config 5), slope-timed."""
     import jax
 
     from scvae_tpu.models import vae
@@ -197,22 +236,34 @@ def bench_iw_evaluation(config, data, n_cells: int, batch: int, n_iw: int):
     eval_epoch = make_eval_epoch(eval_fn)
     idx = sequential_batches(n_cells, batch)
 
-    def run_epoch(e):
-        out = eval_epoch(params, state, data, idx, jax.random.PRNGKey(5 + e))
+    def run(n):
+        out = None
+        for e in range(n):
+            out = eval_epoch(params, state, data, idx,
+                             jax.random.PRNGKey(5 + e))
         value = float(out["lower_bound"])
         assert np.isfinite(value)
 
-    run_epoch(-1)
-    best = time_epochs(run_epoch, 4)
-    return idx.size / best
+    run(1)
+    t1 = t2 = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(1)
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(4)
+        t2 = min(t2, time.perf_counter() - t0)
+    per_pass = (t2 - t1) / 3
+    return idx.size / per_pass
 
 
-def bench_gmvae_ari() -> float:
+def bench_gmvae_ari() -> dict:
     """GMVAE clustering quality: ARI vs labels on the seeded development
-    data (BASELINE config 4 quality gate; reference docs/guide.rst:205)."""
+    data (BASELINE config 4 quality gate; reference docs/guide.rst:205).
+    Training is bounded to ARI_TRAIN_BUDGET_S seconds: the model trains in
+    short chunks until the budget runs out, then evaluates whatever it
+    has — quality reporting must never sink the throughput record."""
     import tempfile
-
-    import jax
 
     from scvae_tpu.analyses.metrics import adjusted_rand_index
     from scvae_tpu.data import DataSet
@@ -230,29 +281,40 @@ def bench_gmvae_ari() -> float:
             number_of_warm_up_epochs=20,
             log_directory=tmp + "/models",
         )
-        model.train(
-            train, valid, number_of_epochs=60, minibatch_size=256,
-            verbose=False, track_accuracy=False,
-        )
+        deadline = time.monotonic() + ARI_TRAIN_BUDGET_S
+        epochs_done = 0
+        chunk = 10
+        while time.monotonic() < deadline and epochs_done < 60:
+            target = min(60, epochs_done + chunk)
+            model.train(
+                train, valid, number_of_epochs=target, minibatch_size=256,
+                verbose=False, track_accuracy=False,
+            )
+            epochs_done = target
         transformed, _, _ = model.evaluate(
             test, minibatch_size=256, output_versions="all", verbose=False
         )
         to_id = test.class_name_to_class_id
         label_ids = np.array([to_id[n] for n in test.labels])
-        return float(
-            adjusted_rand_index(
-                label_ids, transformed.predicted_cluster_ids
-            )
+        ari = float(
+            adjusted_rand_index(label_ids, transformed.predicted_cluster_ids)
         )
+        return {"adjusted_rand_index": round(ari, 4),
+                "epochs_trained": epochs_done}
 
 
 def main() -> None:
     import jax
 
-    # Persistent compilation cache: first-ever run pays the (remote)
-    # compile; subsequent bench runs start hot.
+    # Persistent compilation cache inside the repo (survives across
+    # rounds, unlike /tmp): first-ever run pays the remote compile,
+    # later bench runs start hot.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/scvae_tpu_jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -273,6 +335,39 @@ def main() -> None:
     jax.block_until_ready(data["x"])
 
     configs: dict[str, dict] = {}
+    result: dict = {}
+
+    def emit(partial: bool):
+        peak = BF16_PEAK_TFLOPS.get(device_kind)
+        result.update(
+            {
+                "metric": (
+                    "cells/sec/chip, VAE-NB training, 68k cells x 2048 genes"
+                ),
+                "unit": "cells/sec/chip",
+                "baseline_note": (
+                    "baseline is a self-chosen 50k cells/s estimate of the "
+                    "reference TF1 feed_dict loop (no published numbers); "
+                    "round-over-round anchor only"
+                ),
+                "timing_note": (
+                    "slope-timed steady-state device ms/step (two epoch "
+                    "groups, one sync fetch each); the tunnelled host "
+                    "round-trip is excluded and reported per config as "
+                    "dispatch_fetch_floor_ms"
+                ),
+                "mfu_basis": (
+                    f"analytic 6*MAC model flops / bf16 peak "
+                    f"({peak if peak else 'unknown'} TFLOP/s for "
+                    f"{device_kind}); training matmuls run bf16 with f32 "
+                    "accumulation"
+                ),
+                "device_kind": device_kind,
+                "partial": partial,
+                "configs": configs,
+            }
+        )
+        print(json.dumps(result), flush=True)
 
     # -- headline: VAE-NB training (BASELINE config 2) ----------------------
     config = vae.VAEConfig(
@@ -281,94 +376,118 @@ def main() -> None:
         minibatch_normalisation=True, number_of_warm_up_epochs=200,
     )
     log("benchmarking VAE-NB…")
-    cells_per_sec, flops_per_epoch, best = bench_training(
-        config, data, N_CELLS, BATCH
+    cells_per_sec, flops_per_sec = bench_training(
+        config, data, N_CELLS, BATCH, "vae_nb", configs
     )
-    steps = N_CELLS // BATCH
-    log(
-        f"VAE-NB: best epoch {best:.3f}s for {steps} steps of {BATCH} "
-        f"({1000 * best / steps:.2f} ms/step) → {cells_per_sec:,.0f} cells/s"
+    tflops = flops_per_sec / 1e12
+    peak = BF16_PEAK_TFLOPS.get(device_kind)
+    mfu = tflops / peak if peak else None
+    result.update(
+        {
+            "value": round(cells_per_sec, 1),
+            "vs_baseline": round(
+                cells_per_sec / REFERENCE_BASELINE_CELLS_PER_SEC, 3
+            ),
+            "tflops": round(tflops, 2),
+            "mfu": round(mfu, 4) if mfu else None,
+        }
     )
-    tflops = mfu = None
-    if flops_per_epoch:
-        tflops = flops_per_epoch / best / 1e12
-        peak = BF16_PEAK_TFLOPS.get(device_kind)
-        if peak:
-            mfu = tflops / peak
-        log(f"achieved {tflops:.2f} TFLOP/s (device {device_kind}, MFU "
-            f"{mfu:.3%})" if mfu is not None else f"{tflops:.2f} TFLOP/s")
-    configs["vae_nb"] = {
-        "cells_per_sec": round(cells_per_sec, 1),
-        "ms_per_step": round(1000 * best / steps, 3),
-    }
+    log(f"VAE-NB: {configs['vae_nb']['ms_per_step']} ms/step → "
+        f"{cells_per_sec:,.0f} cells/s ({tflops:.2f} TFLOP/s"
+        + (f", MFU {mfu:.2%})" if mfu else ")"))
+    emit(partial=True)
 
     # -- config 3: ZINB + categorised counts --------------------------------
-    config_zinb = vae.VAEConfig(
-        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
-        reconstruction_distribution="zero-inflated negative binomial",
-        number_of_reconstruction_classes=10,
-        minibatch_normalisation=True,
-    )
-    log("benchmarking VAE-ZINB+categorised…")
-    zinb_cells, _, zinb_best = bench_training(config_zinb, data, N_CELLS, BATCH)
-    log(f"ZINB+cat: {zinb_cells:,.0f} cells/s")
-    configs["vae_zinb_cat"] = {
-        "cells_per_sec": round(zinb_cells, 1),
-        "ms_per_step": round(1000 * zinb_best / steps, 3),
-    }
+    if remaining_budget() > 120:
+        try:
+            config_zinb = vae.VAEConfig(
+                feature_size=N_GENES, latent_size=LATENT,
+                hidden_sizes=HIDDEN,
+                reconstruction_distribution=(
+                    "zero-inflated negative binomial"
+                ),
+                number_of_reconstruction_classes=10,
+                minibatch_normalisation=True,
+            )
+            log("benchmarking VAE-ZINB+categorised…")
+            bench_training(
+                config_zinb, data, N_CELLS, BATCH, "vae_zinb_cat", configs
+            )
+            log(f"ZINB+cat: {configs['vae_zinb_cat']['cells_per_sec']:,.0f}"
+                " cells/s")
+        except Exception as error:
+            configs["vae_zinb_cat"] = {"error": str(error)[:200]}
+        emit(partial=True)
+    else:
+        configs["vae_zinb_cat"] = {"skipped": "budget"}
 
-    # -- config 4: GMVAE-NB training throughput -----------------------------
-    config_gm = gmvae.GMVAEConfig(
-        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
-        reconstruction_distribution="negative binomial",
-        number_of_latent_clusters=10, minibatch_normalisation=True,
-    )
-    gm_batch = 512  # K=10 multiplies activations; smaller per-step batch
-    log("benchmarking GMVAE-NB…")
-    gm_cells, _, gm_best = bench_training(config_gm, data, N_CELLS, gm_batch)
-    log(f"GMVAE-NB: {gm_cells:,.0f} cells/s")
-    configs["gmvae_nb"] = {
-        "cells_per_sec": round(gm_cells, 1),
-        "ms_per_step": round(1000 * gm_best / (N_CELLS // gm_batch), 3),
-    }
+    # -- config 4: GMVAE-NB training throughput (batch sweep) ---------------
+    if remaining_budget() > 180:
+        try:
+            config_gm = gmvae.GMVAEConfig(
+                feature_size=N_GENES, latent_size=LATENT,
+                hidden_sizes=HIDDEN,
+                reconstruction_distribution="negative binomial",
+                number_of_latent_clusters=10,
+                minibatch_normalisation=True,
+            )
+            log("benchmarking GMVAE-NB (batch sweep)…")
+            best = None
+            sweep = {}
+            for gm_batch in (512, 2048):
+                if remaining_budget() < 90 and best is not None:
+                    break
+                sub: dict[str, dict] = {}
+                bench_training(
+                    config_gm, data, N_CELLS, gm_batch, "x", sub
+                )
+                sweep[str(gm_batch)] = sub["x"]["cells_per_sec"]
+                if best is None or (
+                    sub["x"]["cells_per_sec"] > best["cells_per_sec"]
+                ):
+                    best = sub["x"]
+            best["batch_sweep"] = sweep
+            configs["gmvae_nb"] = best
+            log(f"GMVAE-NB: {best['cells_per_sec']:,.0f} cells/s "
+                f"(B={best['batch']}; sweep {sweep})")
+        except Exception as error:
+            configs["gmvae_nb"] = {"error": str(error)[:200]}
+        emit(partial=True)
+    else:
+        configs["gmvae_nb"] = {"skipped": "budget"}
 
     # -- config 5: IW-ELBO evaluation ---------------------------------------
-    log("benchmarking IW evaluation…")
-    iw_cells = bench_iw_evaluation(config, data, N_CELLS, 1024, n_iw=8)
-    log(f"IW-ELBO (R=8) evaluation: {iw_cells:,.0f} cells/s")
-    configs["iw_evaluation"] = {
-        "cells_per_sec": round(iw_cells, 1),
-        "n_iw": 8,
-    }
+    if remaining_budget() > 120:
+        try:
+            log("benchmarking IW evaluation…")
+            iw_cells = bench_iw_evaluation(config, data, N_CELLS, 1024,
+                                           n_iw=8)
+            log(f"IW-ELBO (R=8) evaluation: {iw_cells:,.0f} cells/s")
+            configs["iw_evaluation"] = {
+                "cells_per_sec": round(iw_cells, 1),
+                "n_iw": 8,
+            }
+        except Exception as error:
+            configs["iw_evaluation"] = {"error": str(error)[:200]}
+        emit(partial=True)
+    else:
+        configs["iw_evaluation"] = {"skipped": "budget"}
 
     # -- config 4 quality: GMVAE ARI on development -------------------------
-    log("training GMVAE on development for ARI…")
-    try:
-        ari = bench_gmvae_ari()
-        log(f"GMVAE development ARI: {ari:.3f}")
-        configs["gmvae_ari"] = {"adjusted_rand_index": round(ari, 4)}
-    except Exception as error:  # quality config must not sink the bench
-        log(f"GMVAE ARI config failed: {error}")
-        configs["gmvae_ari"] = {"error": str(error)[:200]}
+    if remaining_budget() > ARI_TRAIN_BUDGET_S + 60:
+        try:
+            log("training GMVAE on development for ARI "
+                f"(≤{ARI_TRAIN_BUDGET_S:.0f}s)…")
+            configs["gmvae_ari"] = bench_gmvae_ari()
+            log(f"GMVAE development ARI: "
+                f"{configs['gmvae_ari']['adjusted_rand_index']}")
+        except Exception as error:  # quality must not sink the bench
+            log(f"GMVAE ARI config failed: {error}")
+            configs["gmvae_ari"] = {"error": str(error)[:200]}
+    else:
+        configs["gmvae_ari"] = {"skipped": "budget"}
 
-    result = {
-        "metric": "cells/sec/chip, VAE-NB training, 68k cells x 2048 genes",
-        "value": round(cells_per_sec, 1),
-        "unit": "cells/sec/chip",
-        "vs_baseline": round(
-            cells_per_sec / REFERENCE_BASELINE_CELLS_PER_SEC, 3
-        ),
-        "baseline_note": (
-            "baseline is a self-chosen 50k cells/s estimate of the "
-            "reference TF1 feed_dict loop (no published numbers); "
-            "round-over-round anchor only"
-        ),
-        "device_kind": device_kind,
-        "tflops": round(tflops, 2) if tflops else None,
-        "mfu": round(mfu, 4) if mfu else None,
-        "configs": configs,
-    }
-    print(json.dumps(result))
+    emit(partial=False)
 
 
 if __name__ == "__main__":

@@ -491,6 +491,7 @@ class VariationalAutoencoder:
         reset_training: bool = False,
         full_train_evaluation: bool = True,
         data_placement: str = "auto",
+        metrics_fetch: str = "sync",
         intermediate_analyser=None,
         analyses_directory: str | None = None,
         caches_directory: str | None = None,
@@ -502,6 +503,10 @@ class VariationalAutoencoder:
         number_of_devices: int | None = None,
         model_parallelism: int | None = None,
     ) -> training.TrainingResult:
+        if metrics_fetch not in ("sync", "deferred"):
+            raise ValueError(
+                "metrics_fetch must be 'sync' or 'deferred'"
+            )
         if number_of_epochs is None:
             number_of_epochs = get_default("models", "number_of_epochs")
         if minibatch_size is None:
@@ -617,7 +622,11 @@ class VariationalAutoencoder:
                 parallel.batch_sharding(mesh) if mesh is not None else None
             )
             train_epoch = step.make_train_epoch(
-                loss_fn, optimizer, batch_constraint=batch_constraint
+                loss_fn, optimizer, batch_constraint=batch_constraint,
+                # deferred mode keeps a one-epoch-old reference to the
+                # train state for delayed processing, so the input buffers
+                # must not be donated
+                donate=metrics_fetch != "deferred",
             )
             eval_epoch = step.make_eval_epoch(
                 self._eval_fn(n_iw, n_mc), batch_constraint=batch_constraint
@@ -630,7 +639,8 @@ class VariationalAutoencoder:
                 pad_rows_to_multiple_of=data_shards,
             )
             run_epoch = training.device_epoch_runner(
-                train_epoch, train_data, n_train, scaled_batch, seed
+                train_epoch, train_data, n_train, scaled_batch, seed,
+                lazy=metrics_fetch == "deferred",
             )
             evaluate_training = (
                 self._device_evaluator(
@@ -704,9 +714,15 @@ class VariationalAutoencoder:
                         rng,
                     )
 
+        if metrics_fetch == "deferred" and not use_device_data:
+            # Streaming feeds fetch per step by construction; deferred
+            # fetching only applies to the device-resident scan path.
+            metrics_fetch = "sync"
+
         result = training.run_training_loop(
             train_state=train_state,
             run_epoch=run_epoch,
+            fetch_mode=metrics_fetch,
             evaluate_training=evaluate_training,
             evaluate_validation=evaluate_validation,
             number_of_epochs=number_of_epochs,

@@ -247,8 +247,8 @@ def init(config: GMVAEConfig, rng: jax.Array) -> tuple[Params, State]:
         for pname in config.reconstruction_spec.parameters
     }
     if config.k_max:
-        params["categorised_logits"] = networks.init_dense(
-            next(rngs), dec_out, config.feature_size * (config.k_max + 1)
+        params["categorised_logits"] = networks.init_categorised_head(
+            next(rngs), dec_out, config.feature_size, config.k_max
         )
 
     return params, state
@@ -463,13 +463,9 @@ def forward(
         p_x = recon_spec.build(x_theta, count_sum=count_sum)  # (K, S, B, F)
 
         if config.k_max:
-            logits = networks.apply_dense(
+            logits = networks.apply_categorised_logits(
                 params["categorised_logits"], dec_h,
                 compute_dtype=compute_dtype,
-            )
-            logits = jnp.reshape(
-                logits,
-                logits.shape[:-1] + (config.feature_size, config.k_max + 1),
             )
             p_x = Categorised(dist=p_x, cat=Categorical(logits=logits))
 
@@ -567,18 +563,35 @@ def elbo_terms(
             if config.use_count_sum_as_parameter
             else None
         )
-        fused = (
-            ops.fused_log_likelihood
-            if jax.default_backend() == "tpu"
-            else ops.reference_log_likelihood
-        )
-        log_p_x = fused(
-            config.reconstruction_distribution,
-            outputs.decoder_hidden,
-            params["reconstruction"],
-            t,
-            count_sum=count_sum,
-        )  # (K, S, B)
+        if config.k_max:
+            fused = (
+                ops.fused_categorised_log_likelihood
+                if jax.default_backend() == "tpu"
+                else ops.reference_categorised_log_likelihood
+            )
+            log_p_x = fused(
+                config.reconstruction_distribution,
+                outputs.decoder_hidden,
+                params["reconstruction"],
+                params["categorised_logits"]["kernel"],
+                params["categorised_logits"]["bias"],
+                t,
+                compute_dtype=config.compute_dtype(training),
+            )  # (K, S, B)
+        else:
+            fused = (
+                ops.fused_log_likelihood
+                if jax.default_backend() == "tpu"
+                else ops.reference_log_likelihood
+            )
+            log_p_x = fused(
+                config.reconstruction_distribution,
+                outputs.decoder_hidden,
+                params["reconstruction"],
+                t,
+                count_sum=count_sum,
+                compute_dtype=config.compute_dtype(training),
+            )  # (K, S, B)
     else:
         log_p_x = jnp.sum(outputs.p_x.log_prob(t), axis=-1)  # (K, S, B)
     recon_per_example = jnp.mean(log_p_x, axis=1) * y_probs_k  # (K, B)

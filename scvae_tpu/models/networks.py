@@ -63,6 +63,43 @@ def apply_dense(
     return y + params["bias"]
 
 
+def init_categorised_head(
+    rng: jax.Array, in_dim: int, feature_size: int, k_max: int
+) -> Params:
+    """(K+1)-class logit heads for the piecewise-categorical likelihood.
+
+    Drawn as ONE glorot dense layer of ``feature_size · (K+1)`` outputs to
+    match the reference's single wide head (fan-out and therefore init
+    scale, ``scvae/models/variational_autoencoder.py:2507-2527``), then
+    stored class-major as kernel (K+1, in_dim, F) / bias (K+1, F) so each
+    class block is a contiguous matrix the fused Pallas kernel tiles
+    directly."""
+    wide = glorot_uniform(rng, (in_dim, feature_size * (k_max + 1)))
+    kernel = wide.reshape(in_dim, feature_size, k_max + 1).transpose(2, 0, 1)
+    return {
+        "kernel": kernel,
+        "bias": jnp.zeros((k_max + 1, feature_size), jnp.float32),
+    }
+
+
+def apply_categorised_logits(
+    params: Params, h: jax.Array, *, compute_dtype=None
+) -> jax.Array:
+    """Class logits (..., F, K+1) from decoder output ``h`` (..., H)."""
+    kernel = params["kernel"]  # (K+1, H, F)
+    bias = params["bias"]  # (K+1, F)
+    if compute_dtype is not None and kernel.dtype != compute_dtype:
+        logits = jnp.einsum(
+            "...h,khf->...fk",
+            h.astype(compute_dtype),
+            kernel.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = jnp.einsum("...h,khf->...fk", h, kernel)
+    return logits + bias.T
+
+
 def init_batch_norm(dim: int) -> tuple[Params, State]:
     params = {"beta": jnp.zeros((dim,), jnp.float32)}  # center=True, scale=False
     state = {

@@ -110,6 +110,7 @@ def make_train_epoch(
     *,
     jit: bool = True,
     batch_constraint: Any = None,
+    donate: bool = True,
 ):
     """Whole-epoch training as one ``lax.scan`` over device-resident data.
 
@@ -167,7 +168,7 @@ def make_train_epoch(
         return ts, epoch_metrics
 
     if jit:
-        return jax.jit(train_epoch, donate_argnums=(0,))
+        return jax.jit(train_epoch, donate_argnums=(0,) if donate else ())
     return train_epoch
 
 

@@ -116,14 +116,22 @@ def device_epoch_runner(
     n_examples: int,
     batch_size: int,
     seed: int,
+    *,
+    lazy: bool = False,
 ) -> EpochRunner:
-    """Whole-epoch lax.scan over device-resident data."""
+    """Whole-epoch lax.scan over device-resident data.
+
+    ``lazy=True`` returns the metric as a device value without the host
+    fetch — required for ``fetch_mode="deferred"`` where the fetch happens
+    one epoch later, under the next epoch's compute."""
     from scvae_tpu.models.step import epoch_permutation
 
     def run_epoch(train_state, epoch, wuw, rng):
         perm_rng = np.random.RandomState(seed + epoch)
         perm = epoch_permutation(n_examples, batch_size, perm_rng)
         train_state, metrics = train_epoch(train_state, data, perm, rng, wuw)
+        if lazy:
+            return train_state, {"lower_bound": metrics["lower_bound"]}
         return train_state, {"lower_bound": float(metrics["lower_bound"])}
 
     return run_epoch
@@ -144,8 +152,38 @@ def run_training_loop(
     verbose: bool = True,
     epoch_callback: Callable[[int, TrainState, dict], None] | None = None,
     async_checkpoints: bool = True,
+    fetch_mode: str = "sync",
 ) -> TrainingResult:
-    """Run epochs ``start_epoch → number_of_epochs`` (see module docstring)."""
+    """Run epochs ``start_epoch → number_of_epochs`` (see module docstring).
+
+    ``fetch_mode="deferred"`` pipelines the host side one epoch behind the
+    device: epoch e+1 is dispatched (the runner only touches device
+    handles) BEFORE epoch e's metrics are fetched and processed, so the
+    per-fetch host↔device round trip — ~26 ms on a tunnelled chip, larger
+    than a whole epoch at bench shapes — overlaps the next epoch's compute
+    instead of stalling it.  Metric processing, checkpoint writes, NaN
+    aborts, and early-stopping decisions each happen one epoch later than
+    in "sync" mode (the curves themselves are identical); requires a
+    ``run_epoch`` whose returned metrics are lazy device values, i.e. the
+    device-resident runner."""
+    if fetch_mode not in ("sync", "deferred"):
+        raise ValueError(f"Unknown fetch_mode {fetch_mode!r}")
+    if fetch_mode == "deferred":
+        return _run_training_loop_deferred(
+            train_state=train_state,
+            run_epoch=run_epoch,
+            evaluate_training=evaluate_training,
+            evaluate_validation=evaluate_validation,
+            number_of_epochs=number_of_epochs,
+            number_of_warm_up_epochs=number_of_warm_up_epochs,
+            rng=rng,
+            log_directory=log_directory,
+            early_stopping_rounds=early_stopping_rounds,
+            start_epoch=start_epoch,
+            verbose=verbose,
+            epoch_callback=epoch_callback,
+            async_checkpoints=async_checkpoints,
+        )
     early = EarlyStopping(rounds=early_stopping_rounds)
     history: dict[str, dict[str, list[float]]] = {}
 
@@ -283,6 +321,174 @@ def run_training_loop(
     return TrainingResult(
         train_state=train_state,
         number_of_epochs_trained=epoch,
+        stopped_early=stopped_early,
+        best_epoch=early.best_epoch,
+        history=history,
+    )
+
+
+def _run_training_loop_deferred(
+    *,
+    train_state: TrainState,
+    run_epoch: EpochRunner,
+    evaluate_training: Evaluator | None,
+    evaluate_validation: Evaluator | None,
+    number_of_epochs: int,
+    number_of_warm_up_epochs: int,
+    rng: jax.Array,
+    log_directory: str | None,
+    early_stopping_rounds: int,
+    start_epoch: int,
+    verbose: bool,
+    epoch_callback: Callable[[int, TrainState, dict], None] | None,
+    async_checkpoints: bool,
+) -> TrainingResult:
+    """One-epoch-deep software pipeline over the device (see
+    ``run_training_loop`` fetch_mode="deferred").  Epoch e+1 is dispatched
+    before epoch e's metrics are touched on the host, so the fetch RTT
+    rides under device compute; all host-side processing (curves,
+    checkpoints, early stopping) trails the device by exactly one epoch
+    and is identical to the sync loop otherwise."""
+    early = EarlyStopping(rounds=early_stopping_rounds)
+    history: dict[str, dict[str, list[float]]] = {}
+
+    if log_directory:
+        curves = checkpoints.load_learning_curves(log_directory)
+        validation_curve = curves.get("validation", {}).get("lower_bound", [])
+        for epoch, value in enumerate(validation_curve[:start_epoch]):
+            early.update(value, epoch)
+        history = {k: dict(v) for k, v in curves.items()} if curves else {}
+
+    stopped_early = False
+    epochs_processed = start_epoch
+
+    def process(epoch, state, train_metrics, eval_rngs) -> bool:
+        """Fetch + record one epoch's results; True → stop training."""
+        nonlocal stopped_early, epochs_processed
+        epoch_start = time.time()
+        if not np.isfinite(float(train_metrics["lower_bound"])):
+            raise ArithmeticError(
+                f"The lower bound became NaN/inf at epoch {epoch + 1}."
+            )
+        epoch_metrics: dict[str, dict[str, float]] = {}
+        sub_t, sub_v = eval_rngs
+        if evaluate_training is not None:
+            epoch_metrics["training"] = evaluate_training(state, sub_t)
+        else:
+            epoch_metrics["training"] = {
+                k: float(v) if np.ndim(v) == 0 else np.asarray(v)
+                for k, v in train_metrics.items()
+            }
+        if evaluate_validation is not None:
+            epoch_metrics["validation"] = evaluate_validation(state, sub_v)
+
+        if epoch_callback is not None:
+            epoch_callback(epoch, state, epoch_metrics)
+
+        scalar_metrics: dict[str, dict[str, float]] = {}
+        for kind, metrics in epoch_metrics.items():
+            kind_history = history.setdefault(kind, {})
+            kind_scalars: dict[str, float] = {}
+            for name, value in metrics.items():
+                if np.ndim(value) > 0:
+                    if log_directory:
+                        checkpoints.append_array_series(
+                            log_directory, f"{name}-{kind}", value
+                        )
+                    continue
+                kind_history.setdefault(name, []).append(float(value))
+                kind_scalars[name] = float(value)
+            scalar_metrics[kind] = kind_scalars
+
+        if log_directory:
+            checkpoints.append_learning_curves(log_directory, scalar_metrics)
+            checkpoints.save_checkpoint(
+                log_directory, state, epoch=epoch + 1,
+                step=int(state.step), async_write=async_checkpoints,
+            )
+
+        if verbose:
+            duration = format_duration(time.time() - epoch_start)
+            pieces = [f"Epoch {epoch + 1}/{number_of_epochs} ({duration})"]
+            pieces.append("ELBO(train): {:.6g}".format(
+                epoch_metrics["training"]["lower_bound"]))
+            if "validation" in epoch_metrics:
+                pieces.append("ELBO(valid): {:.6g}".format(
+                    epoch_metrics["validation"]["lower_bound"]))
+            print("  ".join(pieces))
+
+        epochs_processed = epoch + 1
+        if "validation" in epoch_metrics:
+            status = early.update(
+                epoch_metrics["validation"]["lower_bound"], epoch
+            )
+            if log_directory:
+                if status["start_degrading"]:
+                    checkpoints.copy_checkpoint_version(
+                        log_directory,
+                        os.path.join(log_directory, "early_stopping"),
+                        async_write=async_checkpoints,
+                    )
+                if status["improved"]:
+                    checkpoints.copy_checkpoint_version(
+                        log_directory,
+                        os.path.join(log_directory, "best"),
+                        async_write=async_checkpoints,
+                    )
+                    checkpoints.remove_checkpoint(
+                        os.path.join(log_directory, "early_stopping"),
+                        async_write=async_checkpoints,
+                    )
+            if status["stop"]:
+                stopped_early = True
+                if verbose:
+                    print(
+                        f"Stopping early: no validation improvement for "
+                        f"{early_stopping_rounds} epochs."
+                    )
+                return True
+        elif log_directory:
+            checkpoints.copy_checkpoint_version(
+                log_directory,
+                os.path.join(log_directory, "best"),
+                async_write=async_checkpoints,
+            )
+        return False
+
+    pending = None  # (epoch, state, device_metrics, eval_rngs)
+    final_state = train_state
+    for epoch in range(start_epoch, number_of_epochs):
+        wuw = warm_up_weight(epoch, number_of_warm_up_epochs)
+        # consume the rng stream exactly like the sync loop so curves match
+        rng, epoch_rng = jax.random.split(rng)
+        sub_t = sub_v = None
+        if evaluate_training is not None:
+            rng, sub_t = jax.random.split(rng)
+        if evaluate_validation is not None:
+            rng, sub_v = jax.random.split(rng)
+        train_state, train_metrics = run_epoch(
+            train_state, epoch, wuw, epoch_rng
+        )
+        final_state = train_state
+        if pending is not None and process(*pending):
+            break
+        pending = (epoch, train_state, train_metrics, (sub_t, sub_v))
+    else:
+        if pending is not None:
+            process(*pending)
+        pending = None
+    if pending is not None:
+        # early stop fired with one epoch already dispatched; record it
+        # too (its work is done either way) unless training just stopped.
+        pass
+
+    checkpoints.wait_for_pending_writes()
+    if not tree_finite(final_state.params):
+        raise ArithmeticError("Model parameters became non-finite.")
+
+    return TrainingResult(
+        train_state=final_state,
+        number_of_epochs_trained=epochs_processed,
         stopped_early=stopped_early,
         best_epoch=early.best_epoch,
         history=history,

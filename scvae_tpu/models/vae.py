@@ -234,8 +234,8 @@ def init(config: VAEConfig, rng: jax.Array) -> tuple[Params, State]:
     params["reconstruction"] = recon_heads
 
     if config.k_max:
-        params["categorised_logits"] = networks.init_dense(
-            next(rngs), dec_out, config.feature_size * (config.k_max + 1)
+        params["categorised_logits"] = networks.init_categorised_head(
+            next(rngs), dec_out, config.feature_size, config.k_max
         )
 
     return params, state
@@ -364,13 +364,9 @@ def _build_reconstruction(
     p_x = spec.build(theta, count_sum=count_sum)
 
     if config.k_max:
-        logits = networks.apply_dense(
+        logits = networks.apply_categorised_logits(
             params["categorised_logits"], decoder_h,
             compute_dtype=compute_dtype,
-        )
-        logits = jnp.reshape(
-            logits,
-            logits.shape[:-1] + (config.feature_size, config.k_max + 1),
         )
         p_x = Categorised(dist=p_x, cat=Categorical(logits=logits))
     return p_x
@@ -502,24 +498,39 @@ def elbo_terms(
         # kernel; (S, B) → (R, L, B).
         from scvae_tpu import ops
 
-        count_sum = (
-            batch["count_sum"] if config.use_count_sum_as_parameter else None
-        )
-        if jax.default_backend() == "tpu":
-            rows = ops.fused_log_likelihood(
+        if config.k_max:
+            fused = (
+                ops.fused_categorised_log_likelihood
+                if jax.default_backend() == "tpu"
+                else ops.reference_categorised_log_likelihood
+            )
+            rows = fused(
                 config.reconstruction_distribution,
                 outputs.decoder_hidden,
                 params["reconstruction"],
+                params["categorised_logits"]["kernel"],
+                params["categorised_logits"]["bias"],
                 t,
-                count_sum=count_sum,
+                compute_dtype=config.compute_dtype(training),
             )
         else:
-            rows = ops.reference_log_likelihood(
+            count_sum = (
+                batch["count_sum"]
+                if config.use_count_sum_as_parameter
+                else None
+            )
+            fused = (
+                ops.fused_log_likelihood
+                if jax.default_backend() == "tpu"
+                else ops.reference_log_likelihood
+            )
+            rows = fused(
                 config.reconstruction_distribution,
                 outputs.decoder_hidden,
                 params["reconstruction"],
                 t,
                 count_sum=count_sum,
+                compute_dtype=config.compute_dtype(training),
             )
         log_p_x_given_z = jnp.reshape(rows, (n_iw, n_mc, b))
     else:

@@ -1,18 +1,24 @@
 """Pallas TPU kernels for the compute hot path."""
 
 from scvae_tpu.ops.fused_likelihood import (
+    CATEGORISED_BASES,
     FUSED_LIKELIHOODS,
+    fused_categorised_log_likelihood,
     fused_log_likelihood,
+    reference_categorised_log_likelihood,
     reference_log_likelihood,
     supports_fused_likelihood,
 )
 from scvae_tpu.ops.special import digamma, lgamma
 
 __all__ = [
+    "CATEGORISED_BASES",
     "FUSED_LIKELIHOODS",
     "digamma",
+    "fused_categorised_log_likelihood",
     "fused_log_likelihood",
     "lgamma",
+    "reference_categorised_log_likelihood",
     "reference_log_likelihood",
     "supports_fused_likelihood",
 ]

@@ -39,6 +39,7 @@ log-likelihoods, differentiable w.r.t. ``h`` and every head kernel/bias.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -69,9 +70,31 @@ FUSED_LIKELIHOODS = (
     "constrained poisson",
 )
 
+# Bases that compose with the piecewise-categorical wrapper (reference
+# ``distributions/categorised.py:251-260``): the (K+1)-class logit heads
+# become K+1 extra fused heads, so the (B, F, K+1) logits tensor never
+# reaches HBM.  Constrained Poisson is excluded (the reference's
+# cross-parameter validation forbids the combination,
+# ``models/utilities.py:850-897``).
+CATEGORISED_BASES = (
+    "poisson",
+    "negative binomial",
+    "zero-inflated poisson",
+    "zero-inflated negative binomial",
+)
+# VMEM cap: K+1 categorical heads + base heads all hold a weight tile and
+# an activation tile per program; beyond this many total heads the tile
+# sizes needed would stall the MXU, so fall back to the XLA path.
+_MAX_FUSED_HEADS = 32
+
 
 def supports_fused_likelihood(name: str, k_max: int = 0) -> bool:
-    return k_max == 0 and name in FUSED_LIKELIHOODS
+    if k_max == 0:
+        return name in FUSED_LIKELIHOODS
+    return (
+        name in CATEGORISED_BASES
+        and k_max + 1 + len(_BASE_HEADS[name]) <= _MAX_FUSED_HEADS
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -205,6 +228,98 @@ def _zinb_grads(a_pi, a_p, a_r, t):
 
 
 # --------------------------------------------------------------------------
+# Piecewise-categorical ("categorised") composition
+#
+# The K+1 class-logit heads join the base-distribution heads in the fused
+# head list; the elementwise piece is (reference categorised.py:251-260):
+#
+#   ll = logit[min(t, K)] − lse(logits)
+#        + [t ≥ K] · (base_ll(t − K) − lgamma(1 + t − K))
+#
+# with d ll / d logit_c = 1[c = min(t, K)] − softmax(logits)_c and the base
+# head gradients masked to the t ≥ K region.  The kernel's unconditional
+# −lgamma(1+t) subtraction is disabled for this family (the constant sits
+# inside the shifted branch instead), handled by the factory flag below.
+# --------------------------------------------------------------------------
+
+_BASE_HEADS = {
+    "poisson": ("log_lambda",),
+    "negative binomial": ("p", "log_r"),
+    "zero-inflated poisson": ("pi", "log_lambda"),
+    "zero-inflated negative binomial": ("pi", "p", "log_r"),
+}
+
+_BASE_LL = {}
+_BASE_GRADS = {}
+
+
+def _cat_select_and_lse(cat_acts, t):
+    """(logit at class min(t, K), logsumexp over classes) elementwise."""
+    k = len(cat_acts) - 1
+    m = cat_acts[0]
+    for a in cat_acts[1:]:
+        m = jnp.maximum(m, a)
+    s = jnp.exp(cat_acts[0] - m)
+    for a in cat_acts[1:]:
+        s += jnp.exp(a - m)
+    lse = m + jnp.log(s)
+    # progressive select: after step c the value is cat_acts[min(t, c)]
+    a_sel = cat_acts[0]
+    for c in range(1, k + 1):
+        a_sel = jnp.where(t >= c, cat_acts[c], a_sel)
+    return a_sel, lse
+
+
+def _categorised_ll(base_name: str, n_base: int, k: int):
+    base_ll_fn = _BASE_LL[base_name]
+
+    def ll(activations, t):
+        base_acts = activations[:n_base]
+        cat_acts = activations[n_base:]
+        a_sel, lse = _cat_select_and_lse(cat_acts, t)
+        shifted = jnp.maximum(t - k, 0.0)
+        base = base_ll_fn(base_acts, shifted) - lgamma(1.0 + shifted)
+        return a_sel - lse + jnp.where(t >= k, base, 0.0)
+
+    return ll
+
+
+def _categorised_grads(base_name: str, n_base: int, k: int):
+    base_grads_fn = _BASE_GRADS[base_name]
+
+    def grads(activations, t):
+        base_acts = activations[:n_base]
+        cat_acts = activations[n_base:]
+        m = cat_acts[0]
+        for a in cat_acts[1:]:
+            m = jnp.maximum(m, a)
+        exps = [jnp.exp(a - m) for a in cat_acts]
+        s = exps[0]
+        for e in exps[1:]:
+            s += e
+        inv_s = 1.0 / s
+        shifted = jnp.maximum(t - k, 0.0)
+        pos = t >= k
+        base_gs = tuple(
+            jnp.where(pos, g, 0.0)
+            for g in base_grads_fn(base_acts, shifted)
+        )
+        cat_gs = []
+        for c in range(k + 1):
+            if c < k:
+                # t is integer-valued, so [min(t, K) = c] ⇔ c ≤ t < c+1
+                ind = jnp.logical_and(t >= c, t < c + 1)
+            else:
+                ind = pos
+            cat_gs.append(
+                jnp.where(ind, 1.0, 0.0) - exps[c] * inv_s
+            )
+        return base_gs + tuple(cat_gs)
+
+    return grads
+
+
+# --------------------------------------------------------------------------
 # jnp reference implementations (tested against the distribution library)
 # --------------------------------------------------------------------------
 
@@ -231,9 +346,13 @@ def _constrained_poisson_ll_rows(a, t, n):
     return rows[..., 0]
 
 
-def reference_log_likelihood(name, h, heads, t, count_sum=None):
+def reference_log_likelihood(name, h, heads, t, count_sum=None,
+                             compute_dtype=None):
     """Unfused jnp computation of the same quantity (used for parity tests
-    and as the fallback on non-TPU backends)."""
+    and as the fallback on non-TPU backends).  ``compute_dtype`` is
+    accepted for call-site symmetry with the fused path and ignored — the
+    fallback stays exact f32."""
+    del compute_dtype
     if name == "poisson":
         a_l = h @ heads["log_lambda"]["kernel"] + heads["log_lambda"]["bias"]
         ll = _poisson_ll(a_l, t) - lgamma(1.0 + t)
@@ -271,7 +390,8 @@ def reference_log_likelihood(name, h, heads, t, count_sum=None):
 # --------------------------------------------------------------------------
 
 
-def _make_forward_kernel(n_heads, ll_fn):
+def _make_forward_kernel(n_heads, ll_fn, subtract_lgamma_const=True,
+                         compute_dtype=None):
     def kernel(*refs):
         h_ref = refs[0]
         w_refs = refs[1:1 + 2 * n_heads:2]
@@ -280,13 +400,24 @@ def _make_forward_kernel(n_heads, ll_fn):
         o_ref = refs[2 + 2 * n_heads]
         j = pl.program_id(1)
         h = h_ref[:]
+        if compute_dtype is not None:
+            # mixed-precision head matmuls: bf16 inputs, f32 accumulation
+            # on the MXU (the f32 path is ~4x slower on v5e); the
+            # elementwise log-prob stays f32
+            h = h.astype(compute_dtype)
         activations = tuple(
-            jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                h,
+                w_ref[:].astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            )
             + b_ref[:]
             for w_ref, b_ref in zip(w_refs, b_refs)
         )
         t = t_ref[:]
-        ll = ll_fn(activations, t) - lgamma(1.0 + t)
+        ll = ll_fn(activations, t)
+        if subtract_lgamma_const:
+            ll = ll - lgamma(1.0 + t)
         partial = jnp.sum(ll, axis=1, keepdims=True)
 
         @pl.when(j == 0)
@@ -300,7 +431,7 @@ def _make_forward_kernel(n_heads, ll_fn):
     return kernel
 
 
-def _make_backward_kernel(n_heads, grads_fn):
+def _make_backward_kernel(n_heads, grads_fn, compute_dtype=None):
     def kernel(*refs):
         g_ref = refs[0]
         h_ref = refs[1]
@@ -316,18 +447,36 @@ def _make_backward_kernel(n_heads, grads_fn):
         j = pl.program_id(0)
         i = pl.program_id(1)
         h = h_ref[:]
+        hc = h if compute_dtype is None else h.astype(compute_dtype)
         activations = tuple(
-            jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                hc,
+                w_ref[:].astype(hc.dtype),
+                preferred_element_type=jnp.float32,
+            )
             + b_ref[:]
             for w_ref, b_ref in zip(w_refs, b_refs)
         )
         gs = grads_fn(activations, t_ref[:])
         g = g_ref[:]  # (TM, 1) row cotangents
         gs = tuple(g_a * g for g_a in gs)
+        # mixed precision: cast both operands of the gradient matmuls like
+        # XLA does for the bf16 trunk backward
+        gsc = gs if compute_dtype is None else tuple(
+            g_a.astype(compute_dtype) for g_a in gs
+        )
 
-        dh = gs[0] @ w_refs[0][:].T
-        for g_a, w_ref in zip(gs[1:], w_refs[1:]):
-            dh += jnp.dot(g_a, w_ref[:].T, preferred_element_type=jnp.float32)
+        dh = jnp.dot(
+            gsc[0],
+            w_refs[0][:].astype(gsc[0].dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+        for g_a, w_ref in zip(gsc[1:], w_refs[1:]):
+            dh += jnp.dot(
+                g_a,
+                w_ref[:].astype(g_a.dtype).T,
+                preferred_element_type=jnp.float32,
+            )
 
         @pl.when(j == 0)
         def _init_dh():
@@ -337,8 +486,8 @@ def _make_backward_kernel(n_heads, grads_fn):
         def _acc_dh():
             dh_ref[:] += dh
 
-        for g_a, dw_ref, db_ref in zip(gs, dw_refs, db_refs):
-            dw = jnp.dot(h.T, g_a, preferred_element_type=jnp.float32)
+        for g_a, g_ac, dw_ref, db_ref in zip(gs, gsc, dw_refs, db_refs):
+            dw = jnp.dot(hc.T, g_ac, preferred_element_type=jnp.float32)
             db = jnp.sum(g_a, axis=0, keepdims=True)
 
             @pl.when(i == 0)
@@ -368,41 +517,64 @@ def _pad_cols(x, f_padded):
     return x
 
 
-def _fused_forward(ll_fn, h, weights, biases, t):
+def _tile_sizes(n_heads: int, hidden: int) -> tuple[int, int]:
+    """(row, feature) tile sizes keeping per-program VMEM in budget.
+
+    Resident per program: n_heads weight tiles (hidden, TF) double-
+    buffered, n_heads activation tiles (TM, TF), h/t tiles.  The defaults
+    suit ≤4 heads; categorised likelihoods bring K+1 extra heads, so
+    shrink TF (and then TM) until the estimate fits ~10 MB."""
+    tm, tf = _TM, _TF
+    while tf > 128:
+        est = (
+            n_heads * hidden * tf * 4 * 2      # weight tiles (dbuf)
+            + n_heads * tm * tf * 4            # activation tiles
+            + tm * hidden * 4 + tm * tf * 4 * 2  # h + t tiles
+        )
+        if est <= 10 * 2**20:
+            break
+        tf //= 2
+    return tm, tf
+
+
+def _fused_forward(ll_fn, h, weights, biases, t,
+                   subtract_lgamma_const=True, compute_dtype=None):
     n_heads = len(weights)
     m, hidden = h.shape
     f = t.shape[-1]
-    m_padded = _round_up(max(m, 8), _TM)
-    f_padded = _round_up(f, _TF)
+    tm, tf = _tile_sizes(n_heads, hidden)
+    m_padded = _round_up(max(m, 8), tm)
+    f_padded = _round_up(f, tf)
     h_p = _pad_rows(h, m_padded)
     t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
     ws = [_pad_cols(w, f_padded) for w in weights]
     bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
 
     in_specs = [
-        pl.BlockSpec((_TM, hidden), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, hidden), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     ]
     operands = [h_p]
     for w, b in zip(ws, bs):
         in_specs.append(
-            pl.BlockSpec((hidden, _TF), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((hidden, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(w)
         in_specs.append(
-            pl.BlockSpec((1, _TF), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(b)
     in_specs.append(
-        pl.BlockSpec((_TM, _TF), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, tf), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     )
     operands.append(t_p)
 
     out = pl.pallas_call(
-        _make_forward_kernel(n_heads, ll_fn),
-        grid=(m_padded // _TM, f_padded // _TF),
+        _make_forward_kernel(n_heads, ll_fn, subtract_lgamma_const,
+                             compute_dtype),
+        grid=(m_padded // tm, f_padded // tf),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (_TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m_padded, 1), jnp.float32),
     )(*operands)
@@ -419,12 +591,14 @@ def _fused_forward(ll_fn, h, weights, biases, t):
     return out[:m, 0] - correction
 
 
-def _fused_backward(grads_fn, h, weights, biases, t, g):
+def _fused_backward(grads_fn, h, weights, biases, t, g,
+                    compute_dtype=None):
     n_heads = len(weights)
     m, hidden = h.shape
     f = t.shape[-1]
-    m_padded = _round_up(max(m, 8), _TM)
-    f_padded = _round_up(f, _TF)
+    tm, tf = _tile_sizes(n_heads, hidden)
+    m_padded = _round_up(max(m, 8), tm)
+    f_padded = _round_up(f, tf)
     h_p = _pad_rows(h, m_padded)
     t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
     g_p = _pad_rows(g.reshape(m, 1), m_padded)
@@ -432,41 +606,41 @@ def _fused_backward(grads_fn, h, weights, biases, t, g):
     bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
 
     in_specs = [
-        pl.BlockSpec((_TM, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((_TM, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tm, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
     ]
     operands = [g_p, h_p]
     for w, b in zip(ws, bs):
         in_specs.append(
-            pl.BlockSpec((hidden, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((hidden, tf), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(w)
         in_specs.append(
-            pl.BlockSpec((1, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tf), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(b)
     in_specs.append(
-        pl.BlockSpec((_TM, _TF), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, tf), lambda j, i: (i, j), memory_space=pltpu.VMEM)
     )
     operands.append(t_p)
 
     out_specs = [
-        pl.BlockSpec((_TM, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     ]
     out_shape = [jax.ShapeDtypeStruct((m_padded, hidden), jnp.float32)]
     for _ in range(n_heads):
         out_specs.append(
-            pl.BlockSpec((hidden, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((hidden, tf), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((hidden, f_padded), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, _TF), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tf), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         out_shape.append(jax.ShapeDtypeStruct((1, f_padded), jnp.float32))
 
     outputs = pl.pallas_call(
-        _make_backward_kernel(n_heads, grads_fn),
-        grid=(f_padded // _TF, m_padded // _TM),
+        _make_backward_kernel(n_heads, grads_fn, compute_dtype),
+        grid=(f_padded // tf, m_padded // tm),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -492,26 +666,6 @@ def _nb_grads_packed(activations, t):
     return _nb_grads(a_p, a_r, t)
 
 
-@jax.custom_vjp
-def _fused_nb(h, wp, bp, wr, br, t):
-    return _fused_forward(_nb_ll_packed, h, (wp, wr), (bp, br), t)
-
-
-def _fused_nb_fwd(h, wp, bp, wr, br, t):
-    return _fused_nb(h, wp, bp, wr, br, t), (h, wp, bp, wr, br, t)
-
-
-def _fused_nb_bwd(residuals, g):
-    h, wp, bp, wr, br, t = residuals
-    dh, (dwp, dwr), (dbp, dbr) = _fused_backward(
-        _nb_grads_packed, h, (wp, wr), (bp, br), t, g
-    )
-    return dh, dwp, dbp, dwr, dbr, jnp.zeros_like(t)
-
-
-_fused_nb.defvjp(_fused_nb_fwd, _fused_nb_bwd)
-
-
 def _poisson_ll_packed(activations, t):
     (a_l,) = activations
     return _poisson_ll(a_l, t)
@@ -520,26 +674,6 @@ def _poisson_ll_packed(activations, t):
 def _poisson_grads_packed(activations, t):
     (a_l,) = activations
     return (_poisson_grad(a_l, t),)
-
-
-@jax.custom_vjp
-def _fused_poisson(h, wl, bl, t):
-    return _fused_forward(_poisson_ll_packed, h, (wl,), (bl,), t)
-
-
-def _fused_poisson_fwd(h, wl, bl, t):
-    return _fused_poisson(h, wl, bl, t), (h, wl, bl, t)
-
-
-def _fused_poisson_bwd(residuals, g):
-    h, wl, bl, t = residuals
-    dh, (dwl,), (dbl,) = _fused_backward(
-        _poisson_grads_packed, h, (wl,), (bl,), t, g
-    )
-    return dh, dwl, dbl, jnp.zeros_like(t)
-
-
-_fused_poisson.defvjp(_fused_poisson_fwd, _fused_poisson_bwd)
 
 
 def _zip_ll_packed(activations, t):
@@ -552,26 +686,6 @@ def _zip_grads_packed(activations, t):
     return _zip_grads(a_pi, a_l, t)
 
 
-@jax.custom_vjp
-def _fused_zip(h, wpi, bpi, wl, bl, t):
-    return _fused_forward(_zip_ll_packed, h, (wpi, wl), (bpi, bl), t)
-
-
-def _fused_zip_fwd(h, wpi, bpi, wl, bl, t):
-    return _fused_zip(h, wpi, bpi, wl, bl, t), (h, wpi, bpi, wl, bl, t)
-
-
-def _fused_zip_bwd(residuals, g):
-    h, wpi, bpi, wl, bl, t = residuals
-    dh, (dwpi, dwl), (dbpi, dbl) = _fused_backward(
-        _zip_grads_packed, h, (wpi, wl), (bpi, bl), t, g
-    )
-    return dh, dwpi, dbpi, dwl, dbl, jnp.zeros_like(t)
-
-
-_fused_zip.defvjp(_fused_zip_fwd, _fused_zip_bwd)
-
-
 def _zinb_ll_packed(activations, t):
     a_pi, a_p, a_r = activations
     return _zinb_ll(a_pi, a_p, a_r, t)
@@ -582,29 +696,121 @@ def _zinb_grads_packed(activations, t):
     return _zinb_grads(a_pi, a_p, a_r, t)
 
 
-@jax.custom_vjp
-def _fused_zinb(h, wpi, bpi, wp, bp, wr, br, t):
-    return _fused_forward(
-        _zinb_ll_packed, h, (wpi, wp, wr), (bpi, bp, br), t
+def _make_fused_from(ll_fn, grads_fn, subtract_lgamma_const, compute_dtype):
+    """custom_vjp wrapper around the generic forward/backward kernels.
+    Head weights/biases travel as tuples (pytrees), so one wrapper serves
+    any head count; the backward recomputes activations per tile instead
+    of storing them (flash-attention-style)."""
+
+    @jax.custom_vjp
+    def fused(h, weights, biases, t):
+        return _fused_forward(
+            ll_fn, h, weights, biases, t,
+            subtract_lgamma_const=subtract_lgamma_const,
+            compute_dtype=compute_dtype,
+        )
+
+    def fwd(h, weights, biases, t):
+        return fused(h, weights, biases, t), (h, weights, biases, t)
+
+    def bwd(residuals, g):
+        h, weights, biases, t = residuals
+        dh, dws, dbs = _fused_backward(
+            grads_fn, h, weights, biases, t, g,
+            compute_dtype=compute_dtype,
+        )
+        return dh, tuple(dws), tuple(dbs), jnp.zeros_like(t)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_basic(name: str, compute_dtype=None):
+    return _make_fused_from(
+        _BASE_LL[name], _BASE_GRADS[name],
+        subtract_lgamma_const=True, compute_dtype=compute_dtype,
     )
 
 
-def _fused_zinb_fwd(h, wpi, bpi, wp, bp, wr, br, t):
-    return (
-        _fused_zinb(h, wpi, bpi, wp, bp, wr, br, t),
-        (h, wpi, bpi, wp, bp, wr, br, t),
+_BASE_LL.update({
+    "poisson": _poisson_ll_packed,
+    "negative binomial": _nb_ll_packed,
+    "zero-inflated poisson": _zip_ll_packed,
+    "zero-inflated negative binomial": _zinb_ll_packed,
+})
+_BASE_GRADS.update({
+    "poisson": _poisson_grads_packed,
+    "negative binomial": _nb_grads_packed,
+    "zero-inflated poisson": _zip_grads_packed,
+    "zero-inflated negative binomial": _zinb_grads_packed,
+})
+
+
+# --------------------------------------------------------------------------
+# Categorised wrapper: base heads + K+1 class-logit heads in one kernel.
+# Head weights/biases travel as tuples (pytrees are fine for custom_vjp),
+# so one factory serves every (base, K) combination.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_categorised(base_name: str, k: int, compute_dtype=None):
+    n_base = len(_BASE_HEADS[base_name])
+    return _make_fused_from(
+        _categorised_ll(base_name, n_base, k),
+        _categorised_grads(base_name, n_base, k),
+        subtract_lgamma_const=False,
+        compute_dtype=compute_dtype,
     )
 
 
-def _fused_zinb_bwd(residuals, g):
-    h, wpi, bpi, wp, bp, wr, br, t = residuals
-    dh, (dwpi, dwp, dwr), (dbpi, dbp, dbr) = _fused_backward(
-        _zinb_grads_packed, h, (wpi, wp, wr), (bpi, bp, br), t, g
-    )
-    return dh, dwpi, dbpi, dwp, dbp, dwr, dbr, jnp.zeros_like(t)
+def _categorised_head_list(name, heads, cat_kernel, cat_bias):
+    """Flatten base heads + per-class categorical heads into (ws, bs).
+
+    ``cat_kernel`` is (K+1, H, F) and ``cat_bias`` (K+1, F) — class-major
+    so each class's weight block is a contiguous (H, F) matrix the kernel
+    can tile directly (vae.init stores the parameter in this layout)."""
+    ws = [heads[p]["kernel"] for p in _BASE_HEADS[name]]
+    bs = [heads[p]["bias"] for p in _BASE_HEADS[name]]
+    k_plus_1 = cat_kernel.shape[0]
+    for c in range(k_plus_1):
+        ws.append(cat_kernel[c])
+        bs.append(cat_bias[c])
+    return tuple(ws), tuple(bs)
 
 
-_fused_zinb.defvjp(_fused_zinb_fwd, _fused_zinb_bwd)
+def reference_categorised_log_likelihood(
+    name, h, heads, cat_kernel, cat_bias, t, compute_dtype=None
+):
+    """Unfused jnp computation of the categorised row-summed likelihood
+    (parity baseline and the non-TPU fallback; ``compute_dtype`` ignored
+    — exact f32)."""
+    del compute_dtype
+    n_base = len(_BASE_HEADS[name])
+    k = cat_kernel.shape[0] - 1
+    ll_fn = _categorised_ll(name, n_base, k)
+    ws, bs = _categorised_head_list(name, heads, cat_kernel, cat_bias)
+    activations = tuple(h @ w + b for w, b in zip(ws, bs))
+    return jnp.sum(ll_fn(activations, t), axis=-1)
+
+
+def fused_categorised_log_likelihood(
+    name, h, heads, cat_kernel, cat_bias, t, compute_dtype=None
+):
+    """Fused Pallas path for the categorised likelihood (K+1 class heads
+    + base heads, log-softmax and the piecewise select in VMEM — the
+    (B, F, K+1) logits tensor never reaches HBM; reference
+    ``variational_autoencoder.py:2507-2532``)."""
+    lead_shape = h.shape[:-1]
+    hidden = h.shape[-1]
+    f = t.shape[-1]
+    k = cat_kernel.shape[0] - 1
+    h2 = h.reshape(-1, hidden)
+    t2 = jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
+    ws, bs = _categorised_head_list(name, heads, cat_kernel, cat_bias)
+    out = _make_fused_categorised(name, k, compute_dtype)(h2, ws, bs, t2)
+    return out.reshape(lead_shape)
 
 
 # --------------------------------------------------------------------------
@@ -842,58 +1048,33 @@ def fused_log_likelihood(
     heads: dict[str, dict[str, jax.Array]],
     t: jax.Array,
     count_sum: jax.Array | None = None,
+    compute_dtype=None,
 ) -> jax.Array:
     """Row-summed log p(t | heads(h)) with the fused Pallas path.
 
     ``h``: (..., H) decoder output; ``t``: (..., F) targets broadcastable
     against the leading axes of ``h``; heads: {param: {kernel, bias}};
     ``count_sum``: (..., 1) per-cell totals, required for
-    "constrained poisson".  Returns (...,) log-likelihood sums.
+    "constrained poisson"; ``compute_dtype``: optional narrow matmul input
+    dtype (bf16 inputs, f32 accumulation) for the head matmuls.  Returns
+    (...,) log-likelihood sums.
     """
     lead_shape = h.shape[:-1]
     hidden = h.shape[-1]
     f = t.shape[-1]
     h2 = h.reshape(-1, hidden)
     t2 = jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
-    if name == "poisson":
-        head = heads["log_lambda"]
-        out = _fused_poisson(h2, head["kernel"], head["bias"], t2)
-    elif name == "negative binomial":
-        out = _fused_nb(
-            h2,
-            heads["p"]["kernel"],
-            heads["p"]["bias"],
-            heads["log_r"]["kernel"],
-            heads["log_r"]["bias"],
-            t2,
-        )
-    elif name == "zero-inflated poisson":
-        out = _fused_zip(
-            h2,
-            heads["pi"]["kernel"],
-            heads["pi"]["bias"],
-            heads["log_lambda"]["kernel"],
-            heads["log_lambda"]["bias"],
-            t2,
-        )
-    elif name == "zero-inflated negative binomial":
-        out = _fused_zinb(
-            h2,
-            heads["pi"]["kernel"],
-            heads["pi"]["bias"],
-            heads["p"]["kernel"],
-            heads["p"]["bias"],
-            heads["log_r"]["kernel"],
-            heads["log_r"]["bias"],
-            t2,
-        )
-    elif name == "constrained poisson":
+    if name == "constrained poisson":
         if count_sum is None:
             raise ValueError("constrained poisson requires count_sum")
         n2 = jnp.broadcast_to(count_sum, lead_shape + (1,)).reshape(-1, 1)
         out = _fused_constrained_poisson(
             h2, heads["lambda"]["kernel"], heads["lambda"]["bias"], t2, n2
         )
+    elif name in _BASE_HEADS:
+        ws = tuple(heads[p]["kernel"] for p in _BASE_HEADS[name])
+        bs = tuple(heads[p]["bias"] for p in _BASE_HEADS[name])
+        out = _make_fused_basic(name, compute_dtype)(h2, ws, bs, t2)
     else:
         raise ValueError(f"No fused likelihood for {name!r}")
     return out.reshape(lead_shape)

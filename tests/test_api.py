@@ -181,3 +181,62 @@ class TestCheckpoints:
         checkpoints.save_checkpoint(directory, {"a": jnp.ones(3)}, epoch=1)
         with pytest.raises(ValueError):
             checkpoints.restore_checkpoint(directory, {"a": jnp.ones(4)})
+
+
+class TestDeferredMetricsFetch:
+    """fetch_mode="deferred" pipelines host processing one epoch behind the
+    device; the recorded curves must be identical to sync mode."""
+
+    def test_curves_match_sync(self, tmp_path, dev_sets):
+        train, valid, _ = dev_sets
+        common = dict(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="negative binomial",
+        )
+        kwargs = dict(
+            number_of_epochs=4, minibatch_size=128, seed=0,
+            data_placement="device", verbose=False,
+        )
+        sync_model = VariationalAutoencoder(
+            log_directory=str(tmp_path / "sync"), **common
+        )
+        r_sync = sync_model.train(train, valid, metrics_fetch="sync",
+                                  **kwargs)
+        deferred_model = VariationalAutoencoder(
+            log_directory=str(tmp_path / "deferred"), **common
+        )
+        r_def = deferred_model.train(train, valid, metrics_fetch="deferred",
+                                     **kwargs)
+        for kind in ("training", "validation"):
+            for key in r_sync.history[kind]:
+                np.testing.assert_allclose(
+                    r_sync.history[kind][key],
+                    r_def.history[kind][key],
+                    rtol=1e-6,
+                    err_msg=f"{kind}/{key}",
+                )
+        assert r_def.number_of_epochs_trained == 4
+
+    def test_streaming_falls_back_to_sync(self, tmp_path, dev_sets):
+        train, valid, _ = dev_sets
+        model = VariationalAutoencoder(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="poisson",
+            log_directory=str(tmp_path / "stream"),
+        )
+        result = model.train(
+            train, valid, number_of_epochs=2, minibatch_size=128,
+            data_placement="streaming", metrics_fetch="deferred",
+            verbose=False,
+        )
+        assert result.number_of_epochs_trained == 2
+
+    def test_invalid_mode_raises(self, tmp_path, dev_sets):
+        train, valid, _ = dev_sets
+        model = VariationalAutoencoder(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            log_directory=str(tmp_path / "bad"),
+        )
+        with pytest.raises(ValueError):
+            model.train(train, valid, number_of_epochs=1,
+                        metrics_fetch="lazy", verbose=False)

@@ -101,11 +101,21 @@ def test_fused_flag_rejects_unsupported():
         )
         vae._fused_path_enabled(config)
 
+    # categorised (k_max > 0) IS fusable since round 3 …
+    config = vae.VAEConfig(
+        feature_size=10,
+        reconstruction_distribution="poisson",
+        number_of_reconstruction_classes=4,
+        fused_likelihood=True,
+    )
+    assert vae._fused_path_enabled(config)
+
+    # … but not beyond the head cap (K+1 class heads must fit VMEM)
     with pytest.raises(ValueError):
         config = vae.VAEConfig(
             feature_size=10,
             reconstruction_distribution="poisson",
-            number_of_reconstruction_classes=4,
+            number_of_reconstruction_classes=100,
             fused_likelihood=True,
         )
         vae._fused_path_enabled(config)

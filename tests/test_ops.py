@@ -191,7 +191,13 @@ class TestFusedKernels:
         assert supports_fused_likelihood("zero-inflated poisson")
         assert supports_fused_likelihood("zero-inflated negative binomial")
         assert supports_fused_likelihood("constrained poisson")
-        assert not supports_fused_likelihood("poisson", k_max=4)
+        # categorised wrappers fuse too (round-3; K+1 class heads)
+        assert supports_fused_likelihood("poisson", k_max=4)
+        assert supports_fused_likelihood(
+            "zero-inflated negative binomial", k_max=10
+        )
+        assert not supports_fused_likelihood("constrained poisson", k_max=4)
+        assert not supports_fused_likelihood("poisson", k_max=100)
         assert not supports_fused_likelihood("lomax")
 
     def test_leading_axes_broadcast(self):
@@ -204,3 +210,157 @@ class TestFusedKernels:
         np.testing.assert_allclose(
             np.asarray(out[0]), np.asarray(expected), rtol=1e-4, atol=1e-3
         )
+
+
+class TestFusedCategorised:
+    """Piecewise-categorical fused kernel (K+1 class heads; round 3).
+
+    Ground truth is the distribution library's Categorised composition
+    (reference ``scvae/distributions/categorised.py:251-260``)."""
+
+    def _make(self, name="negative binomial", k_max=4, m=48, hidden=16,
+              f=24, seed=0):
+        h, heads, t, _ = _make_case(name, m=m, hidden=hidden, f=f, seed=seed)
+        cat = networks.init_categorised_head(
+            jax.random.PRNGKey(seed + 7), hidden, f, k_max
+        )
+        # non-trivial class logits (init bias is zero, kernel is random)
+        return h, heads, cat, t
+
+    def _expected(self, name, h, heads, cat, t):
+        from scvae_tpu.distributions import Categorical, Categorised
+
+        base = _distribution_log_prob_sum  # noqa: F841  (pattern reference)
+        from scvae_tpu.distributions import DISTRIBUTIONS
+
+        spec = DISTRIBUTIONS[name]
+        theta = {
+            pname: spec.parameters[pname].constrain(
+                h @ heads[pname]["kernel"] + heads[pname]["bias"]
+            )
+            for pname in heads
+        }
+        dist = spec.build(theta)
+        logits = networks.apply_categorised_logits(cat, h)
+        composed = Categorised(dist=dist, cat=Categorical(logits=logits))
+        return jnp.sum(composed.log_prob(t), axis=-1)
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "poisson",
+            "negative binomial",
+            "zero-inflated poisson",
+            "zero-inflated negative binomial",
+        ],
+    )
+    def test_reference_matches_distribution_library(self, name):
+        from scvae_tpu.ops import reference_categorised_log_likelihood
+
+        h, heads, cat, t = self._make(name)
+        got = reference_categorised_log_likelihood(
+            name, h, heads, cat["kernel"], cat["bias"], t
+        )
+        expected = self._expected(name, h, heads, cat, t)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-3
+        )
+
+    @pytest.mark.parametrize(
+        "name", ["negative binomial", "zero-inflated negative binomial"]
+    )
+    def test_forward_parity_interpret(self, name):
+        from scvae_tpu.ops import fused_categorised_log_likelihood
+
+        h, heads, cat, t = self._make(name)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_categorised_log_likelihood(
+                name, h, heads, cat["kernel"], cat["bias"], t
+            )
+        expected = self._expected(name, h, heads, cat, t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=2e-4, atol=2e-3
+        )
+
+    def test_boundary_counts_exact(self):
+        """Targets pinned to the piecewise boundary: 0, K−1, K, K+1."""
+        from scvae_tpu.ops import reference_categorised_log_likelihood
+
+        name, k_max = "negative binomial", 4
+        h, heads, cat, t = self._make(name, k_max=k_max)
+        t = jnp.asarray(
+            np.resize(
+                np.array([0.0, k_max - 1.0, float(k_max), k_max + 1.0],
+                         np.float32),
+                t.shape,
+            )
+        )
+        got = reference_categorised_log_likelihood(
+            name, h, heads, cat["kernel"], cat["bias"], t
+        )
+        expected = self._expected(name, h, heads, cat, t)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-3
+        )
+
+    @pytest.mark.parametrize("name", ["negative binomial"])
+    def test_gradient_parity_interpret(self, name):
+        from scvae_tpu.ops import (
+            fused_categorised_log_likelihood,
+            reference_categorised_log_likelihood,
+        )
+
+        h, heads, cat, t = self._make(name)
+
+        def loss_fused(h, heads, cat):
+            return jnp.sum(
+                fused_categorised_log_likelihood(
+                    name, h, heads, cat["kernel"], cat["bias"], t
+                )
+            )
+
+        def loss_reference(h, heads, cat):
+            return jnp.sum(
+                reference_categorised_log_likelihood(
+                    name, h, heads, cat["kernel"], cat["bias"], t
+                )
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(h, heads, cat)
+        g_ref = jax.grad(loss_reference, argnums=(0, 1, 2))(h, heads, cat)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_fused),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_gradient_matches_autodiff_of_composition(self):
+        """End-to-end check against autodiff of the distribution-library
+        composition (not just the reference_… twin)."""
+        name = "zero-inflated negative binomial"
+        h, heads, cat, t = self._make(name)
+
+        def loss_lib(h, heads, cat):
+            return jnp.sum(self._expected(name, h, heads, cat, t))
+
+        from scvae_tpu.ops import reference_categorised_log_likelihood
+
+        def loss_ref(h, heads, cat):
+            return jnp.sum(
+                reference_categorised_log_likelihood(
+                    name, h, heads, cat["kernel"], cat["bias"], t
+                )
+            )
+
+        g_lib = jax.grad(loss_lib, argnums=(0, 1, 2))(h, heads, cat)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(h, heads, cat)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_lib),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )

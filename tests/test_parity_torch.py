@@ -270,10 +270,12 @@ def test_elbo_matches_torch_injected_z(rng, np_rng, recon, k_max):
                 params["reconstruction"]["log_r"], d, support=(-10.0, 10.0)
             )
         )
-        logits = (
-            d @ _np(params["categorised_logits"]["kernel"])
-            + _np(params["categorised_logits"]["bias"])
-        ).reshape(d.shape[:-1] + (12, k_max + 1))
+        # kernel is stored class-major (K+1, H, F); build (..., F, K+1)
+        kernel = _np(params["categorised_logits"]["kernel"])  # (K+1, H, F)
+        bias = _np(params["categorised_logits"]["bias"])  # (K+1, F)
+        logits = torch.stack(
+            [d @ kernel[c] + bias[c] for c in range(k_max + 1)], dim=-1
+        )  # (..., F, K+1)
         log_p_cat = torch.log_softmax(logits, dim=-1)
         idx = torch.clamp(xt, 0, k_max).long()
         cat_lp = torch.gather(
