@@ -377,7 +377,9 @@ def train(
     )
     if analyses_directory:
         analyses.analyse_model(
-            model, run_id=run_id or None, analyses_directory=analyses_directory
+            model, run_id=run_id or None,
+            included_analyses=included_analyses,
+            analyses_directory=analyses_directory,
         )
     return 0
 
@@ -524,7 +526,9 @@ def evaluate(
         splitting_fraction,
     )
     analyses.analyse_model(
-        model, run_id=run_id or None, analyses_directory=analyses_directory
+        model, run_id=run_id or None,
+        included_analyses=included_analyses,
+        analyses_directory=analyses_directory,
     )
 
     subset_indices = indices_for_evaluation_subset(evaluation_set)

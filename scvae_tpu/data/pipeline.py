@@ -245,6 +245,7 @@ def device_resident_data(
     count_dtype=None,
     sharding: Any = None,
     pad_rows_to_multiple_of: int = 1,
+    packed: bool | None = None,
 ) -> dict[str, Any]:
     """Densify a whole data subset and place it in device memory once.
 
@@ -259,8 +260,16 @@ def device_resident_data(
     aliased.  ``pad_rows_to_multiple_of`` zero-pads the row axis so the
     array can be row-sharded over a data-parallel mesh (callers only ever
     gather real row indices, so padding rows are inert).
+
+    ``packed`` stores 2-D row matrices in the DMA-aligned packed layout
+    of :mod:`scvae_tpu.ops.gather` (``PackedRows``), letting the training
+    scan gather shuffled batches with explicit row DMAs instead of XLA's
+    slow gather.  ``None`` → automatic: on for the TPU backend when the
+    shape divides and the array is unsharded single-process.
     """
     import jax
+
+    from scvae_tpu.ops.gather import can_pack, pack_rows
 
     placed_by_id: dict[int, Any] = {}
     out: dict[str, Any] = {}
@@ -290,6 +299,20 @@ def device_resident_data(
                 (multiple - remainder,) + dense.shape[1:], dense.dtype
             )
             dense = np.concatenate([dense, pad], axis=0)
+        use_packed = packed
+        if use_packed is None:
+            use_packed = (
+                jax.default_backend() == "tpu"
+                and sharding is None
+                and jax.process_count() == 1
+                and dense.ndim == 2
+                and can_pack(dense.shape[0], dense.shape[1], dense.dtype)
+            )
+        if use_packed:
+            placed = pack_rows(dense)
+            placed_by_id[key] = placed
+            out[name] = placed
+            continue
         if sharding is not None:
             spec = getattr(sharding, "spec", None)
             row_sharded = bool(spec) and spec[0] is not None

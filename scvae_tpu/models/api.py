@@ -389,8 +389,17 @@ class VariationalAutoencoder:
                 out = {k: 0.0 for k in scalar_keys}
             remainder = n - n_full
             if remainder:
+                from scvae_tpu.ops.gather import PackedRows, logical_slice
+
                 batch = step.cast_batch_to_f32(
-                    {k: v[n_full:n] for k, v in data.items()}
+                    {
+                        k: (
+                            logical_slice(v, n_full, n)
+                            if isinstance(v, PackedRows)
+                            else v[n_full:n]
+                        )
+                        for k, v in data.items()
+                    }
                 )
                 if mesh is not None:
                     from scvae_tpu.parallel import replicate_to_mesh

@@ -579,19 +579,39 @@ def elbo_terms(
                 compute_dtype=config.compute_dtype(training),
             )  # (K, S, B)
         else:
-            fused = (
-                ops.fused_log_likelihood
-                if jax.default_backend() == "tpu"
-                else ops.reference_log_likelihood
-            )
-            log_p_x = fused(
-                config.reconstruction_distribution,
-                outputs.decoder_hidden,
-                params["reconstruction"],
-                t,
-                count_sum=count_sum,
-                compute_dtype=config.compute_dtype(training),
-            )  # (K, S, B)
+            on_tpu = jax.default_backend() == "tpu"
+            dec_h = outputs.decoder_hidden  # (K, S, B, H)
+            groups = dec_h.shape[0] * dec_h.shape[1]
+            if (
+                on_tpu
+                and count_sum is None
+                and ops.supports_grouped_likelihood(
+                    config.reconstruction_distribution, groups
+                )
+            ):
+                # grouped kernel: the K·S cluster-sample axis loops inside
+                # the kernel over shared t — no (K, S, B, F) broadcast
+                log_p_x = ops.fused_grouped_log_likelihood(
+                    config.reconstruction_distribution,
+                    dec_h,
+                    params["reconstruction"],
+                    t,
+                    compute_dtype=config.compute_dtype(training),
+                )  # (K, S, B)
+            else:
+                fused = (
+                    ops.fused_log_likelihood
+                    if on_tpu
+                    else ops.reference_log_likelihood
+                )
+                log_p_x = fused(
+                    config.reconstruction_distribution,
+                    dec_h,
+                    params["reconstruction"],
+                    t,
+                    count_sum=count_sum,
+                    compute_dtype=config.compute_dtype(training),
+                )  # (K, S, B)
     else:
         log_p_x = jnp.sum(outputs.p_x.log_prob(t), axis=-1)  # (K, S, B)
     recon_per_example = jnp.mean(log_p_x, axis=1) * y_probs_k  # (K, B)

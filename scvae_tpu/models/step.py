@@ -48,6 +48,38 @@ def create_train_state(
     )
 
 
+def gather_batch(data, idx):
+    """Gather one batch of rows from device-resident data.
+
+    Fields stored as :class:`~scvae_tpu.ops.gather.PackedRows` use the
+    Pallas row-DMA gather (XLA's gather lowering runs ~6× below HBM
+    bandwidth on this pattern); everything else falls back to
+    ``jnp.take``.  Aliased fields (x and t are usually the same matrix)
+    produce identical gather calls that XLA CSEs into one.
+    """
+    from scvae_tpu.ops.gather import (
+        PackedRows,
+        gather_rows,
+        supports_gather_batch,
+    )
+
+    batch = {}
+    for k, v in data.items():
+        if isinstance(v, PackedRows):
+            if supports_gather_batch(idx.shape[0]):
+                batch[k] = gather_rows(v, idx, (jnp.float32,))[0]
+            else:
+                rows = jnp.take(
+                    v.data.reshape(v.n_rows, v.align, -1), idx, axis=0
+                )
+                batch[k] = rows.reshape(idx.shape[0], v.n_cols).astype(
+                    jnp.float32
+                )
+        else:
+            batch[k] = jnp.take(v, idx, axis=0)
+    return batch
+
+
 def cast_batch_to_f32(batch):
     """Promote integer batch fields (counts shipped narrow to save wire /
     HBM bytes) to f32 for compute; ``batch_indices`` stays integral."""
@@ -131,9 +163,7 @@ def make_train_epoch(
         def body(carry, idx):
             ts, rng = carry
             rng, sub = jax.random.split(rng)
-            batch = cast_batch_to_f32(
-                {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-            )
+            batch = cast_batch_to_f32(gather_batch(data, idx))
             if batch_constraint is not None:
                 # Re-shard the gathered batch rows over the data axis so
                 # the step computes data-parallel (the gather itself may
@@ -201,9 +231,7 @@ def make_eval_epoch(
     def eval_epoch(params, model_state, data, idx, rng):
         def body(rng, batch_idx):
             rng, sub = jax.random.split(rng)
-            batch = cast_batch_to_f32(
-                {k: jnp.take(v, batch_idx, axis=0) for k, v in data.items()}
-            )
+            batch = cast_batch_to_f32(gather_batch(data, batch_idx))
             if batch_constraint is not None:
                 batch = jax.lax.with_sharding_constraint(
                     batch, batch_constraint

@@ -137,6 +137,22 @@ def device_epoch_runner(
     return run_epoch
 
 
+
+def _fast_forward_rng(
+    rng, start_epoch, evaluate_training, evaluate_validation
+):
+    """Replay the per-epoch rng splits for already-trained epochs so a
+    resumed run continues the EXACT stream an uninterrupted run would use
+    (preemption-safe resume: curves continue identically; SURVEY §5.3-5.4)."""
+    for _ in range(start_epoch):
+        rng, _ = jax.random.split(rng)
+        if evaluate_training is not None:
+            rng, _ = jax.random.split(rng)
+        if evaluate_validation is not None:
+            rng, _ = jax.random.split(rng)
+    return rng
+
+
 def run_training_loop(
     *,
     train_state: TrainState,
@@ -195,6 +211,10 @@ def run_training_loop(
         for epoch, value in enumerate(validation_curve[:start_epoch]):
             early.update(value, epoch)
         history = {k: dict(v) for k, v in curves.items()} if curves else {}
+
+    rng = _fast_forward_rng(
+        rng, start_epoch, evaluate_training, evaluate_validation
+    )
 
     stopped_early = False
     epoch = start_epoch
@@ -454,6 +474,10 @@ def _run_training_loop_deferred(
                 async_write=async_checkpoints,
             )
         return False
+
+    rng = _fast_forward_rng(
+        rng, start_epoch, evaluate_training, evaluate_validation
+    )
 
     pending = None  # (epoch, state, device_metrics, eval_rngs)
     final_state = train_state

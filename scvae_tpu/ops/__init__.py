@@ -4,10 +4,12 @@ from scvae_tpu.ops.fused_likelihood import (
     CATEGORISED_BASES,
     FUSED_LIKELIHOODS,
     fused_categorised_log_likelihood,
+    fused_grouped_log_likelihood,
     fused_log_likelihood,
     reference_categorised_log_likelihood,
     reference_log_likelihood,
     supports_fused_likelihood,
+    supports_grouped_likelihood,
 )
 from scvae_tpu.ops.special import digamma, lgamma
 
@@ -16,9 +18,11 @@ __all__ = [
     "FUSED_LIKELIHOODS",
     "digamma",
     "fused_categorised_log_likelihood",
+    "fused_grouped_log_likelihood",
     "fused_log_likelihood",
     "lgamma",
     "reference_categorised_log_likelihood",
     "reference_log_likelihood",
     "supports_fused_likelihood",
+    "supports_grouped_likelihood",
 ]

@@ -696,6 +696,347 @@ def _zinb_grads_packed(activations, t):
     return _zinb_grads(a_pi, a_p, a_r, t)
 
 
+# --------------------------------------------------------------------------
+# Grouped kernels: h carries a leading group axis (G, M, H) — the GMVAE's
+# K·S cluster-sample groups — while the targets t (M, F) are SHARED across
+# groups.  The flat kernels above would require broadcasting t to
+# (G·M, F) (≈42 MB materialised + re-read per step at GMVAE bench shapes);
+# here the group loop runs INSIDE the kernel body over a resident
+# (G, TM, H) h-block, so t and the weight tiles are read once per (row,
+# feature) tile regardless of G.  Reference counterpart: the per-cluster
+# reconstruction accumulation loops
+# (``gaussian_mixture_variational_autoencoder.py:3270-3329``).
+# --------------------------------------------------------------------------
+
+
+def _grouped_tile_sizes(n_heads: int, hidden: int, g: int) -> tuple[int, int]:
+    """Tiles for the grouped kernels: the h block is (G, TM, hidden) and
+    the backward also holds a (G, TM, hidden) dh block, so shrink TM
+    first, then TF.  The budget is deliberately conservative — Mosaic's
+    real footprint adds double buffering on every pipelined operand plus
+    the per-group activation/gradient temporaries (measured ~1.9× this
+    estimate at G=10; a 5 MB estimate keeps the true usage inside the
+    16 MB scoped-vmem limit)."""
+    tm, tf = _TM, _TF
+    while True:
+        est = (
+            2 * g * tm * hidden * 4          # h + dh blocks
+            + n_heads * hidden * tf * 4 * 2  # weight tiles (dbuf)
+            + (n_heads + 2) * tm * tf * 4    # activations + t + spill
+        )
+        if est <= 5 * 2**20:
+            return tm, tf
+        if tm > 64:
+            tm //= 2
+        elif tf > 128:
+            tf //= 2
+        else:
+            return tm, tf
+
+
+def _make_grouped_forward_kernel(n_heads, g, ll_fn, subtract_lgamma_const,
+                                 compute_dtype):
+    def kernel(*refs):
+        h_ref = refs[0]  # (G, TM, H)
+        w_refs = refs[1:1 + 2 * n_heads:2]
+        b_refs = refs[2:2 + 2 * n_heads:2]
+        t_ref = refs[1 + 2 * n_heads]  # (TM, TF)
+        o_ref = refs[2 + 2 * n_heads]  # (G, TM, 1)
+        j = pl.program_id(1)
+        t = t_ref[:]
+        const = lgamma(1.0 + t) if subtract_lgamma_const else None
+        ws = [w_ref[:] for w_ref in w_refs]
+        if compute_dtype is not None:
+            ws = [w.astype(compute_dtype) for w in ws]
+        for k in range(g):
+            h = h_ref[k]
+            if compute_dtype is not None:
+                h = h.astype(compute_dtype)
+            activations = tuple(
+                jnp.dot(h, w, preferred_element_type=jnp.float32) + b_ref[:]
+                for w, b_ref in zip(ws, b_refs)
+            )
+            ll = ll_fn(activations, t)
+            if const is not None:
+                ll = ll - const
+            partial = jnp.sum(ll, axis=1, keepdims=True)
+
+            @pl.when(j == 0)
+            def _init(partial=partial, k=k):
+                o_ref[k] = partial
+
+            @pl.when(j > 0)
+            def _accumulate(partial=partial, k=k):
+                o_ref[k] += partial
+
+    return kernel
+
+
+def _make_grouped_backward_kernel(n_heads, g, grads_fn, compute_dtype):
+    def kernel(*refs):
+        g_ref = refs[0]  # (G, TM, 1) row cotangents
+        h_ref = refs[1]  # (G, TM, H)
+        w_refs = refs[2:2 + 2 * n_heads:2]
+        b_refs = refs[3:3 + 2 * n_heads:2]
+        t_ref = refs[2 + 2 * n_heads]  # (TM, TF)
+        out = refs[3 + 2 * n_heads:]
+        dh_ref = out[0]  # (G, TM, H)
+        dw_refs = out[1:1 + 2 * n_heads:2]
+        db_refs = out[2:2 + 2 * n_heads:2]
+        # grid = (F tiles, M tiles): dW/db accumulate over rows (and the
+        # in-body group loop); dh accumulates over feature tiles.
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        t = t_ref[:]
+        ws = [w_ref[:] for w_ref in w_refs]
+        ws_c = (
+            ws if compute_dtype is None
+            else [w.astype(compute_dtype) for w in ws]
+        )
+        for k in range(g):
+            h = h_ref[k]
+            hc = h if compute_dtype is None else h.astype(compute_dtype)
+            activations = tuple(
+                jnp.dot(hc, w, preferred_element_type=jnp.float32) + b_ref[:]
+                for w, b_ref in zip(ws_c, b_refs)
+            )
+            gs = grads_fn(activations, t)
+            gk = g_ref[k]  # (TM, 1)
+            gs = tuple(g_a * gk for g_a in gs)
+            gsc = gs if compute_dtype is None else tuple(
+                g_a.astype(compute_dtype) for g_a in gs
+            )
+
+            dh = jnp.dot(gsc[0], ws_c[0].T,
+                         preferred_element_type=jnp.float32)
+            for g_a, w in zip(gsc[1:], ws_c[1:]):
+                dh += jnp.dot(g_a, w.T, preferred_element_type=jnp.float32)
+
+            @pl.when(j == 0)
+            def _init_dh(dh=dh, k=k):
+                dh_ref[k] = dh
+
+            @pl.when(j > 0)
+            def _acc_dh(dh=dh, k=k):
+                dh_ref[k] += dh
+
+            for g_a, g_ac, dw_ref, db_ref in zip(gs, gsc, dw_refs, db_refs):
+                dw = jnp.dot(hc.T, g_ac, preferred_element_type=jnp.float32)
+                db = jnp.sum(g_a, axis=0, keepdims=True)
+
+                if k == 0:
+                    # the k loop is unrolled (static), so only group 0 of
+                    # the first row tile initialises the dW/db tiles
+                    @pl.when(i == 0)
+                    def _init_dw(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+                        dw_ref[:] = dw
+                        db_ref[:] = db
+
+                    @pl.when(i > 0)
+                    def _acc_dw(dw_ref=dw_ref, db_ref=db_ref, dw=dw, db=db):
+                        dw_ref[:] += dw
+                        db_ref[:] += db
+                else:
+                    dw_ref[:] += dw
+                    db_ref[:] += db
+
+    return kernel
+
+
+def _grouped_forward(ll_fn, h, weights, biases, t,
+                     subtract_lgamma_const=True, compute_dtype=None):
+    n_heads = len(weights)
+    g, m, hidden = h.shape
+    f = t.shape[-1]
+    tm, tf = _grouped_tile_sizes(n_heads, hidden, g)
+    m_padded = _round_up(max(m, 8), tm)
+    f_padded = _round_up(f, tf)
+    h_p = jnp.pad(h, ((0, 0), (0, m_padded - m), (0, 0))) if m_padded != m else h
+    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    ws = [_pad_cols(w, f_padded) for w in weights]
+    bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
+
+    in_specs = [
+        pl.BlockSpec((g, tm, hidden), lambda i, j: (0, i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    operands = [h_p]
+    for w, b in zip(ws, bs):
+        in_specs.append(
+            pl.BlockSpec((hidden, tf), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(w)
+        in_specs.append(
+            pl.BlockSpec((1, tf), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(b)
+    in_specs.append(
+        pl.BlockSpec((tm, tf), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    )
+    operands.append(t_p)
+
+    out = pl.pallas_call(
+        _make_grouped_forward_kernel(
+            n_heads, g, ll_fn, subtract_lgamma_const, compute_dtype
+        ),
+        grid=(m_padded // tm, f_padded // tf),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (g, tm, 1), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, m_padded, 1), jnp.float32),
+    )(*operands)
+    correction = 0.0
+    if f_padded != f:
+        zero_act = tuple(
+            jnp.zeros((1, f_padded - f), jnp.float32) for _ in range(n_heads)
+        )
+        pad_ll = ll_fn(zero_act, jnp.zeros((1, f_padded - f), jnp.float32))
+        correction = jnp.sum(pad_ll)
+    return out[:, :m, 0] - correction
+
+
+def _grouped_backward(grads_fn, h, weights, biases, t, gbar,
+                      compute_dtype=None):
+    n_heads = len(weights)
+    g, m, hidden = h.shape
+    f = t.shape[-1]
+    tm, tf = _grouped_tile_sizes(n_heads, hidden, g)
+    m_padded = _round_up(max(m, 8), tm)
+    f_padded = _round_up(f, tf)
+    h_p = jnp.pad(h, ((0, 0), (0, m_padded - m), (0, 0))) if m_padded != m else h
+    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    g_p = gbar.reshape(g, m, 1)
+    if m_padded != m:
+        g_p = jnp.pad(g_p, ((0, 0), (0, m_padded - m), (0, 0)))
+    ws = [_pad_cols(w, f_padded) for w in weights]
+    bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
+
+    in_specs = [
+        pl.BlockSpec((g, tm, 1), lambda j, i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((g, tm, hidden), lambda j, i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [g_p, h_p]
+    for w, b in zip(ws, bs):
+        in_specs.append(
+            pl.BlockSpec((hidden, tf), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(w)
+        in_specs.append(
+            pl.BlockSpec((1, tf), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(b)
+    in_specs.append(
+        pl.BlockSpec((tm, tf), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    )
+    operands.append(t_p)
+
+    out_specs = [
+        pl.BlockSpec((g, tm, hidden), lambda j, i: (0, i, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((g, m_padded, hidden), jnp.float32)]
+    for _ in range(n_heads):
+        out_specs.append(
+            pl.BlockSpec((hidden, tf), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((hidden, f_padded), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, tf), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((1, f_padded), jnp.float32))
+
+    outputs = pl.pallas_call(
+        _make_grouped_backward_kernel(n_heads, g, grads_fn, compute_dtype),
+        grid=(f_padded // tf, m_padded // tm),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*operands)
+    dh = outputs[0][:, :m]
+    dws = [outputs[1 + 2 * k][:, :f] for k in range(n_heads)]
+    dbs = [outputs[2 + 2 * k][0, :f] for k in range(n_heads)]
+    return dh, dws, dbs
+
+
+def _make_fused_grouped_from(ll_fn, grads_fn, subtract_lgamma_const,
+                             compute_dtype):
+    """Grouped-kernel custom_vjp: h (G, M, H), t (M, F) → ll (G, M)."""
+
+    @jax.custom_vjp
+    def fused(h, weights, biases, t):
+        return _grouped_forward(
+            ll_fn, h, weights, biases, t,
+            subtract_lgamma_const=subtract_lgamma_const,
+            compute_dtype=compute_dtype,
+        )
+
+    def fwd(h, weights, biases, t):
+        return fused(h, weights, biases, t), (h, weights, biases, t)
+
+    def bwd(residuals, gbar):
+        h, weights, biases, t = residuals
+        dh, dws, dbs = _grouped_backward(
+            grads_fn, h, weights, biases, t, gbar,
+            compute_dtype=compute_dtype,
+        )
+        return dh, tuple(dws), tuple(dbs), jnp.zeros_like(t)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_grouped(name: str, compute_dtype=None):
+    return _make_fused_grouped_from(
+        _BASE_LL[name], _BASE_GRADS[name],
+        subtract_lgamma_const=True, compute_dtype=compute_dtype,
+    )
+
+
+# Above roughly 16 resident groups the h/dh blocks crowd out the weight
+# tiles; larger G falls back to the flat broadcast path.
+_MAX_FUSED_GROUPS = 16
+
+
+def supports_grouped_likelihood(name: str, g: int, k_max: int = 0) -> bool:
+    return k_max == 0 and name in _BASE_HEADS and 1 < g <= _MAX_FUSED_GROUPS
+
+
+def fused_grouped_log_likelihood(
+    name: str,
+    h: jax.Array,
+    heads: dict[str, dict[str, jax.Array]],
+    t: jax.Array,
+    compute_dtype=None,
+) -> jax.Array:
+    """Row-summed log p(t | heads(h_g)) per group: ``h`` (..., G, M, H)
+    against targets ``t`` (M, F) shared by every group — the GMVAE's
+    cluster axis stays a kernel loop instead of a broadcast."""
+    lead = h.shape[:-2]
+    m, hidden = h.shape[-2:]
+    g = int(np.prod(lead)) if lead else 1
+    h3 = h.reshape(g, m, hidden)
+    out = _make_fused_grouped(name, compute_dtype)(
+        h3, *_head_tuples(name, heads), t
+    )
+    return out.reshape(lead + (m,))
+
+
+def _head_tuples(name, heads):
+    ws = tuple(heads[p]["kernel"] for p in _BASE_HEADS[name])
+    bs = tuple(heads[p]["bias"] for p in _BASE_HEADS[name])
+    return ws, bs
+
+
 def _make_fused_from(ll_fn, grads_fn, subtract_lgamma_const, compute_dtype):
     """custom_vjp wrapper around the generic forward/backward kernels.
     Head weights/biases travel as tuples (pytrees), so one wrapper serves

@@ -307,3 +307,50 @@ class TestGMVAEApi:
             verbose=False,
         )
         assert result.number_of_epochs_trained == 1
+
+
+class TestClusteringQualityGate:
+    """ARI regression gate (round 3, VERDICT item 4): a silent
+    cluster-collapse regression must FAIL the suite, not just degrade a
+    log somewhere.  Fixed-seed bounded run (~25 s CPU); the recorded
+    known-good ARI is 0.2537 (2026-08-21, CPU f32, seeds below) — the
+    0.15 floor is far above collapse (ARI ≈ 0) yet tolerant of
+    reduction-order noise across jax versions.  Threshold documented in
+    PARITY.md §3."""
+
+    def test_development_ari_floor(self, tmp_path):
+        import numpy as np
+
+        from scvae_tpu.analyses.metrics import adjusted_rand_index
+        from scvae_tpu.data import DataSet
+
+        ds = DataSet(
+            "development",
+            directory=str(tmp_path / "data"),
+            example_filter=["random", 2000],
+        )
+        train, valid, test = ds.split(method="random", fraction=0.9)
+        model = GaussianMixtureVariationalAutoencoder(
+            feature_size=25,
+            latent_size=10,
+            hidden_sizes=[64],
+            reconstruction_distribution="negative binomial",
+            number_of_latent_clusters=5,
+            number_of_warm_up_epochs=10,
+            log_directory=str(tmp_path / "models"),
+        )
+        model.train(
+            train, valid, number_of_epochs=30, minibatch_size=256,
+            seed=0, verbose=False, data_placement="device",
+            track_accuracy=False,
+        )
+        transformed, _, _ = model.evaluate(
+            test, minibatch_size=256, output_versions="all", verbose=False
+        )
+        to_id = test.class_name_to_class_id
+        labels = np.array([to_id[n] for n in test.labels])
+        ari = adjusted_rand_index(labels, transformed.predicted_cluster_ids)
+        assert ari >= 0.15, (
+            f"GMVAE clustering ARI {ari:.4f} below the 0.15 regression "
+            "floor (known-good 0.2537) — possible cluster collapse"
+        )

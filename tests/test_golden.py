@@ -65,7 +65,12 @@ def test_gmvae_golden_trajectory(tmp_path, dev_split):
     np.testing.assert_allclose(
         curve, [-7576.6, -6453.5, -8586.9], rtol=0.02
     )
-    # KL decomposition stays sane
-    kl_y = result.history["validation"].get("kl_divergence")
+    # KL decomposition guard (round-3): the summed KL (z + y terms) of
+    # the same known-good run, ±2% — a KL-sign/weighting regression that
+    # leaves the total ELBO near-unchanged still trips this.
+    kl = result.history["validation"]["kl_divergence"]
+    np.testing.assert_allclose(
+        kl, [570.50, 320.11, 255.02], rtol=0.02
+    )
     acc = result.history["validation"]["accuracy"]
     assert all(0.0 <= a <= 1.0 for a in acc)

@@ -364,3 +364,201 @@ class TestFusedCategorised:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
             )
+
+
+class TestPackedGather:
+    """Pallas row-DMA gather (scvae_tpu/ops/gather.py, round 3): packed
+    layout round-trip and parity with jnp.take in interpreter mode."""
+
+    def _source(self, n=64, f=256, dtype=np.int16, seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.poisson(1.0, size=(n, f)).astype(dtype)
+
+    def test_can_pack(self):
+        from scvae_tpu.ops.gather import can_pack
+
+        assert can_pack(100, 2048, np.float32)   # 2048 = 8·256
+        assert can_pack(100, 2048, np.int16)     # 2048 = 16·128
+        assert not can_pack(100, 25, np.float32)
+        assert not can_pack(100, 1024, np.int16)  # 1024/16 = 64 < 128
+
+    def test_pack_rows_is_a_view(self):
+        from scvae_tpu.ops.gather import pack_rows
+
+        src = self._source(f=2048, dtype=np.float32)
+        packed = pack_rows(src)
+        assert packed.shape == src.shape
+        assert packed.data.shape == (src.shape[0] * 8, 2048 // 8)
+        # byte-identity: unpacking row i reproduces the logical row
+        row = np.asarray(packed.data[8 * 3: 8 * 4]).reshape(-1)
+        np.testing.assert_array_equal(row, src[3])
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.int16])
+    def test_gather_rows_parity_interpret(self, dtype):
+        from scvae_tpu.ops.gather import gather_rows, pack_rows
+
+        src = self._source(n=64, f=2048, dtype=dtype)
+        packed = pack_rows(src)
+        idx = jnp.asarray(
+            np.random.RandomState(1).permutation(64)[:32], jnp.int32
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out_f32, out_bf16 = gather_rows(
+                packed, idx, (jnp.float32, jnp.bfloat16)
+            )
+        expected = np.take(src, np.asarray(idx), axis=0).astype(np.float32)
+        np.testing.assert_array_equal(np.asarray(out_f32), expected)
+        np.testing.assert_array_equal(
+            np.asarray(out_bf16).astype(np.float32), expected
+        )  # small counts are exact in bf16
+
+    def test_gather_batch_mixes_packed_and_plain(self):
+        from scvae_tpu.models.step import gather_batch
+        from scvae_tpu.ops.gather import pack_rows
+
+        src = self._source(n=64, f=2048, dtype=np.float32)
+        extra = np.arange(64, dtype=np.float32).reshape(64, 1)
+        data = {"x": pack_rows(src), "count_sum": jnp.asarray(extra)}
+        idx = jnp.asarray([5, 3, 60, 8, 1, 2, 9, 33], jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            batch = gather_batch(data, idx)
+        np.testing.assert_array_equal(
+            np.asarray(batch["x"]), np.take(src, np.asarray(idx), axis=0)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batch["count_sum"]),
+            np.take(extra, np.asarray(idx), axis=0),
+        )
+
+    def test_gather_batch_fallback_odd_batch(self):
+        from scvae_tpu.models.step import gather_batch
+        from scvae_tpu.ops.gather import pack_rows
+
+        src = self._source(n=64, f=2048, dtype=np.int16)
+        data = {"x": pack_rows(src)}
+        idx = jnp.asarray([5, 3, 60], jnp.int32)  # not divisible by 8
+        batch = gather_batch(data, idx)
+        np.testing.assert_array_equal(
+            np.asarray(batch["x"]),
+            np.take(src, np.asarray(idx), axis=0).astype(np.float32),
+        )
+
+    def test_logical_slice(self):
+        from scvae_tpu.ops.gather import logical_slice, pack_rows
+
+        src = self._source(n=64, f=2048, dtype=np.float32)
+        packed = pack_rows(src)
+        out = logical_slice(packed, 10, 17)
+        np.testing.assert_array_equal(np.asarray(out), src[10:17])
+
+
+class TestGroupedKernels:
+    """Grouped fused likelihood (round 3): h (G, M, H) against t (M, F)
+    shared across groups — the GMVAE cluster axis without the
+    (G·M, F) target broadcast."""
+
+    def _make(self, name="negative binomial", g=3, m=16, hidden=16, f=24,
+              seed=0):
+        rng = np.random.RandomState(seed)
+        h = jnp.asarray(rng.randn(g, m, hidden).astype(np.float32) * 0.5)
+        t = jnp.asarray(rng.poisson(2.0, (m, f)).astype(np.float32))
+        keys = jax.random.split(
+            jax.random.PRNGKey(seed), len(_HEAD_NAMES[name])
+        )
+        heads = {
+            pname: networks.init_dense(key, hidden, f)
+            for pname, key in zip(_HEAD_NAMES[name], keys)
+        }
+        return h, heads, t
+
+    @pytest.mark.parametrize(
+        "name",
+        ["poisson", "negative binomial", "zero-inflated negative binomial"],
+    )
+    def test_forward_parity_interpret(self, name):
+        from scvae_tpu.ops import fused_grouped_log_likelihood
+
+        h, heads, t = self._make(name)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_grouped_log_likelihood(name, h, heads, t)
+        assert out.shape == h.shape[:-1]
+        for k in range(h.shape[0]):
+            expected = reference_log_likelihood(name, h[k], heads, t)
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(expected),
+                rtol=1e-4, atol=1e-3,
+            )
+
+    def test_gradient_parity_interpret(self):
+        from scvae_tpu.ops import fused_grouped_log_likelihood
+
+        name = "negative binomial"
+        h, heads, t = self._make(name)
+        # weight the per-group rows unevenly, like the GMVAE's q(y|x)
+        w = jnp.asarray(
+            np.random.RandomState(9).rand(h.shape[0], h.shape[1])
+            .astype(np.float32)
+        )
+
+        def loss_grouped(h, heads):
+            return jnp.sum(
+                w * fused_grouped_log_likelihood(name, h, heads, t)
+            )
+
+        def loss_reference(h, heads):
+            rows = jnp.stack(
+                [
+                    reference_log_likelihood(name, h[k], heads, t)
+                    for k in range(h.shape[0])
+                ]
+            )
+            return jnp.sum(w * rows)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_fused = jax.grad(loss_grouped, argnums=(0, 1))(h, heads)
+        g_ref = jax.grad(loss_reference, argnums=(0, 1))(h, heads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_fused),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_supports(self):
+        from scvae_tpu.ops import supports_grouped_likelihood
+
+        assert supports_grouped_likelihood("negative binomial", 10)
+        assert supports_grouped_likelihood("poisson", 2)
+        assert not supports_grouped_likelihood("negative binomial", 1)
+        assert not supports_grouped_likelihood("negative binomial", 64)
+        assert not supports_grouped_likelihood("constrained poisson", 10)
+        assert not supports_grouped_likelihood(
+            "negative binomial", 10, k_max=4
+        )
+
+    def test_gmvae_elbo_grouped_matches_flat(self, rng):
+        """The GMVAE training loss through the grouped path must match the
+        flat broadcast path (both in interpret mode)."""
+        from scvae_tpu.models import gmvae
+        from scvae_tpu.ops import (
+            fused_grouped_log_likelihood,
+            fused_log_likelihood,
+        )
+
+        np_rng = np.random.RandomState(4)
+        h = jnp.asarray(np_rng.randn(4, 1, 8, 16).astype(np.float32) * 0.3)
+        t = jnp.asarray(np_rng.poisson(1.5, (8, 24)).astype(np.float32))
+        keys = jax.random.split(rng, 2)
+        heads = {
+            "p": networks.init_dense(keys[0], 16, 24),
+            "log_r": networks.init_dense(keys[1], 16, 24),
+        }
+        with pltpu.force_tpu_interpret_mode():
+            grouped = fused_grouped_log_likelihood(
+                "negative binomial", h, heads, t
+            )
+            flat = fused_log_likelihood("negative binomial", h, heads, t)
+        np.testing.assert_allclose(
+            np.asarray(grouped), np.asarray(flat), rtol=1e-4, atol=1e-3
+        )

@@ -291,3 +291,66 @@ class TestMeshThroughAPI:
             data_placement="streaming",
         )
         assert np.isfinite(result.history["validation"]["lower_bound"][-1])
+
+
+class TestShardedResume:
+    """Preemption-safe resume under a mesh (round 3, VERDICT item 7;
+    SURVEY §5.3-5.4): train 2 epochs sharded, 'kill', resume for 2 more
+    under (a) the same mesh and (b) a DIFFERENT device count — the
+    4-epoch curve must match an uninterrupted 4-epoch run (modulo
+    f32 reduction-order noise across shardings)."""
+
+    @pytest.fixture(scope="class")
+    def dev_sets(self, tmp_path_factory):
+        from scvae_tpu.data import DataSet
+
+        directory = str(tmp_path_factory.mktemp("data"))
+        ds = DataSet(
+            "development", directory=directory,
+            example_filter=["random", 600],
+        )
+        return ds.split(method="random", fraction=0.9)
+
+    def _model(self, tmp_path, tag):
+        from scvae_tpu.models import VariationalAutoencoder
+
+        return VariationalAutoencoder(
+            feature_size=25, latent_size=2, hidden_sizes=[16],
+            reconstruction_distribution="negative binomial",
+            minibatch_normalisation=True,
+            log_directory=str(tmp_path / f"models_{tag}"),
+        )
+
+    @pytest.mark.parametrize("resume_mesh_devices", [8, 4])
+    def test_resume_continues_curve(self, tmp_path, dev_sets,
+                                    resume_mesh_devices):
+        train, valid, _ = dev_sets
+        kwargs = dict(minibatch_size=64, seed=0, verbose=False)
+        mesh_a = create_mesh()  # 8 devices
+
+        # uninterrupted baseline
+        baseline = self._model(tmp_path, f"base_{resume_mesh_devices}")
+        r_full = baseline.train(
+            train, valid, number_of_epochs=4, mesh=mesh_a, **kwargs
+        )
+
+        # interrupted: 2 epochs, new process would restore from disk —
+        # here a fresh model object (state only from checkpoints)
+        tag = f"resume_{resume_mesh_devices}"
+        m1 = self._model(tmp_path, tag)
+        m1.train(train, valid, number_of_epochs=2, mesh=mesh_a, **kwargs)
+
+        m2 = self._model(tmp_path, tag)  # same log dir → resumes
+        mesh_b = create_mesh(
+            devices=jax.devices()[:resume_mesh_devices]
+        )
+        r_resumed = m2.train(
+            train, valid, number_of_epochs=4, mesh=mesh_b, **kwargs
+        )
+
+        assert len(r_resumed.history["validation"]["lower_bound"]) == 4
+        np.testing.assert_allclose(
+            r_full.history["validation"]["lower_bound"],
+            r_resumed.history["validation"]["lower_bound"],
+            rtol=2e-3,
+        )
