@@ -73,8 +73,10 @@ def main():
     vals = rng_np.poisson(3.0, size=rows.shape[0]).astype(np.float32) + 1.0
     counts = scipy.sparse.csr_matrix((vals, (rows, cols)),
                                      shape=(N_CELLS, N_GENES))
+    # unpacked here: this script decomposes the historical jnp.take path;
+    # benchmarks/tpu_gather_smoke.py measures packed vs unpacked
     data = device_resident_data({"x": counts, "t": counts},
-                                count_dtype=np.int16)
+                                count_dtype=np.int16, packed=False)
     jax.block_until_ready(data["x"])
     print(f"data aliased: {data['x'] is data['t']}", file=sys.stderr)
 

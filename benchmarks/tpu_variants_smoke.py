@@ -1,10 +1,7 @@
-"""GMVAE TPU throughput check for the shared-t flat kernel path
-(round 3): t stays (B, F) via the kernel's modulo index map and the
-−lgamma(1+t) constant is hoisted out of the K·S-group kernel.
-
-Reference points measured earlier this round (same shapes, K=10, B=512):
-flat+broadcast 1.067 ms/step (480k cells/s); in-kernel grouped loop
-1.322 ms/step (measured slower; see ops/fused_likelihood.py)."""
+"""Consolidated TPU measurements: (a) GMVAE fused-vs-XLA crossover
+(VERDICT r02 item 3's table), (b) lgamma recurrence depth _SHIFT=2 vs 3
+for VAE-NB and GMVAE-NB (the likelihood transcendental chain is the
+dominant step cost)."""
 import sys
 import time
 
@@ -16,7 +13,6 @@ N_CELLS = 68_579
 N_GENES = 2048
 LATENT = 100
 HIDDEN = (256, 256)
-EXPECTED_LB = -1423.63  # flat-broadcast first-epoch bound, same seeds
 
 
 def log(*a):
@@ -31,8 +27,9 @@ def main():
         pass
     import scipy.sparse
 
+    import scvae_tpu.ops.special as special
     from scvae_tpu.data.pipeline import device_resident_data
-    from scvae_tpu.models import create_train_state, make_optimizer, gmvae
+    from scvae_tpu.models import create_train_state, make_optimizer, gmvae, vae
     from scvae_tpu.models.step import epoch_permutation, make_train_epoch
 
     rng_np = np.random.RandomState(0)
@@ -45,20 +42,14 @@ def main():
     data = device_resident_data({"x": counts, "t": counts},
                                 count_dtype=np.int16)
     jax.block_until_ready(data)
-
-    config = gmvae.GMVAEConfig(
-        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
-        reconstruction_distribution="negative binomial",
-        number_of_latent_clusters=10, minibatch_normalisation=True,
-    )
     optimizer = make_optimizer(1e-4)
 
-    def loss(params, model_state, batch, rng, warm_up_weight):
-        return gmvae.loss_fn(config, params, model_state, batch, rng,
-                             warm_up_weight=warm_up_weight)
+    def measure(module, config, batch_size, tag):
+        def loss(params, model_state, batch, rng, warm_up_weight):
+            return module.loss_fn(config, params, model_state, batch, rng,
+                                  warm_up_weight=warm_up_weight)
 
-    for B in (512, 1024):
-        params, state = gmvae.init(config, jax.random.PRNGKey(0))
+        params, state = module.init(config, jax.random.PRNGKey(0))
         ts = create_train_state(params, state, optimizer)
         train_epoch = make_train_epoch(loss, optimizer)
         perm_rng = np.random.RandomState(1)
@@ -66,17 +57,14 @@ def main():
         def run(n, ts):
             m = None
             for e in range(n):
-                perm = epoch_permutation(N_CELLS, B, perm_rng)
+                perm = epoch_permutation(N_CELLS, batch_size, perm_rng)
                 ts, m = train_epoch(ts, data, perm,
                                     jax.random.PRNGKey(7), 1.0)
             return ts, float(m["lower_bound"])
 
         t0 = time.perf_counter()
         ts, lb = run(1, ts)
-        log(f"B={B}: first epoch {time.perf_counter()-t0:.1f}s lb={lb:.4f}")
-        if B == 512:
-            rel = abs(lb - EXPECTED_LB) / abs(EXPECTED_LB)
-            log(f"vs flat-broadcast lb rel diff: {rel:.2e}")
+        log(f"{tag}: first epoch {time.perf_counter()-t0:.1f}s lb={lb:.4f}")
         t1 = t2 = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
@@ -86,9 +74,32 @@ def main():
             ts, _ = run(4, ts)
             t2 = min(t2, time.perf_counter() - t0)
         per_epoch = (t2 - t1) / 3
-        steps = N_CELLS // B
-        log(f"B={B}: {1e3*per_epoch/steps:.3f} ms/step "
-            f"({steps*B/per_epoch:,.0f} cells/s)")
+        steps = N_CELLS // batch_size
+        log(f"{tag}: {1e3*per_epoch/steps:.3f} ms/step "
+            f"({steps*batch_size/per_epoch:,.0f} cells/s)")
+
+    gm = gmvae.GMVAEConfig(
+        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
+        reconstruction_distribution="negative binomial",
+        number_of_latent_clusters=10, minibatch_normalisation=True,
+    )
+    gm_xla = gmvae.GMVAEConfig(
+        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
+        reconstruction_distribution="negative binomial",
+        number_of_latent_clusters=10, minibatch_normalisation=True,
+        fused_likelihood=False,
+    )
+    v = vae.VAEConfig(
+        feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
+        reconstruction_distribution="negative binomial",
+        minibatch_normalisation=True, number_of_warm_up_epochs=200,
+    )
+
+    measure(gmvae, gm_xla, 512, "gmvae_xla_unfused")
+    special._SHIFT = 2
+    measure(vae, v, 2048, "vae_nb_shift2")
+    measure(gmvae, gm, 512, "gmvae_shift2")
+    special._SHIFT = 3
     print("OK")
 
 

@@ -581,23 +581,23 @@ def elbo_terms(
         else:
             on_tpu = jax.default_backend() == "tpu"
             dec_h = outputs.decoder_hidden  # (K, S, B, H)
-            groups = dec_h.shape[0] * dec_h.shape[1]
-            if (
-                on_tpu
-                and count_sum is None
-                and ops.supports_grouped_likelihood(
-                    config.reconstruction_distribution, groups
-                )
-            ):
-                # grouped kernel: the K·S cluster-sample axis loops inside
-                # the kernel over shared t — no (K, S, B, F) broadcast
-                log_p_x = ops.fused_grouped_log_likelihood(
+            if on_tpu and count_sum is None:
+                # Shared-t fast path: t stays (B, F) — the kernel's index
+                # map cycles over it for the K·S groups instead of
+                # broadcasting a (K, S, B, F) target — and the
+                # −lgamma(1+t) constant (no gradient) is computed ONCE
+                # here rather than K·S times inside the kernel.
+                from scvae_tpu.ops.special import lgamma as _lgamma
+
+                log_p_x = ops.fused_log_likelihood(
                     config.reconstruction_distribution,
                     dec_h,
                     params["reconstruction"],
                     t,
                     compute_dtype=config.compute_dtype(training),
+                    include_lgamma_const=False,
                 )  # (K, S, B)
+                log_p_x = log_p_x - jnp.sum(_lgamma(1.0 + t), axis=-1)
             else:
                 fused = (
                     ops.fused_log_likelihood

@@ -63,10 +63,12 @@ class VAEConfig:
     # Fused Pallas decoder-head+likelihood kernel for the training loss:
     # True = force on (compiled kernel on TPU; jnp reference elsewhere),
     # False = force the plain XLA path, None = auto (on for TPU when the
-    # distribution has a fused kernel, off elsewhere).  Measured on TPU
-    # v5e at the flagship shape (B=2048, H=256, F=2048, NB, bf16 trunk):
-    # fused 1.53 ms/step vs XLA 1.81 ms/step (~1.18×) — the kernel avoids
-    # materialising the (B, F) per-parameter head activations in HBM.
+    # distribution has a fused kernel, off elsewhere).  The kernel avoids
+    # materialising the (B, F) per-parameter head activations in HBM and
+    # runs its head matmuls in bf16 (f32 accumulation).  Round-3 measured
+    # step at the flagship shape (B=2048, H=256x256, F=2048, NB, packed
+    # gather): 0.625 ms slope-timed = 3.28M cells/s, 17.8% MFU — see
+    # STATUS.md §Performance for the full decomposition.
     fused_likelihood: bool | None = None
     # Mixed-precision matmuls for TRAINING: inputs cast to bfloat16, f32
     # accumulation on the MXU, f32 master weights/optimizer state;

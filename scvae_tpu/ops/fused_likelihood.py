@@ -538,7 +538,8 @@ def _tile_sizes(n_heads: int, hidden: int) -> tuple[int, int]:
 
 
 def _fused_forward(ll_fn, h, weights, biases, t,
-                   subtract_lgamma_const=True, compute_dtype=None):
+                   subtract_lgamma_const=True, compute_dtype=None,
+                   t_groups=1):
     n_heads = len(weights)
     m, hidden = h.shape
     f = t.shape[-1]
@@ -546,7 +547,24 @@ def _fused_forward(ll_fn, h, weights, biases, t,
     m_padded = _round_up(max(m, 8), tm)
     f_padded = _round_up(f, tf)
     h_p = _pad_rows(h, m_padded)
-    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    t_p = _pad_cols(t, f_padded)
+    if t_groups > 1 and t.shape[0] % tm != 0:
+        # modulo map needs whole row tiles per group; broadcast instead
+        t_p = jnp.broadcast_to(
+            t_p[None], (t_groups,) + t_p.shape
+        ).reshape(t_groups * t.shape[0], f_padded)
+        t_groups = 1
+    if t_groups == 1:
+        t_p = _pad_rows(t_p, m_padded)
+        t_index = lambda i, j: (i, j)  # noqa: E731
+    else:
+        # h rows are t_groups contiguous blocks sharing the same (B, F)
+        # targets (the GMVAE's K·S cluster-sample axis): the index map
+        # cycles over t's row tiles instead of broadcasting t to (G·B, F)
+        b_tiles = t.shape[0] // tm
+        t_index = lambda i, j, bt=b_tiles: (  # noqa: E731
+            jax.lax.rem(i, bt), j
+        )
     ws = [_pad_cols(w, f_padded) for w in weights]
     bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
 
@@ -564,7 +582,7 @@ def _fused_forward(ll_fn, h, weights, biases, t,
         )
         operands.append(b)
     in_specs.append(
-        pl.BlockSpec((tm, tf), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, tf), t_index, memory_space=pltpu.VMEM)
     )
     operands.append(t_p)
 
@@ -592,7 +610,7 @@ def _fused_forward(ll_fn, h, weights, biases, t,
 
 
 def _fused_backward(grads_fn, h, weights, biases, t, g,
-                    compute_dtype=None):
+                    compute_dtype=None, t_groups=1):
     n_heads = len(weights)
     m, hidden = h.shape
     f = t.shape[-1]
@@ -600,7 +618,20 @@ def _fused_backward(grads_fn, h, weights, biases, t, g,
     m_padded = _round_up(max(m, 8), tm)
     f_padded = _round_up(f, tf)
     h_p = _pad_rows(h, m_padded)
-    t_p = _pad_cols(_pad_rows(t, m_padded), f_padded)
+    t_p = _pad_cols(t, f_padded)
+    if t_groups > 1 and t.shape[0] % tm != 0:
+        t_p = jnp.broadcast_to(
+            t_p[None], (t_groups,) + t_p.shape
+        ).reshape(t_groups * t.shape[0], f_padded)
+        t_groups = 1
+    if t_groups == 1:
+        t_p = _pad_rows(t_p, m_padded)
+        t_index = lambda j, i: (i, j)  # noqa: E731
+    else:
+        b_tiles = t.shape[0] // tm
+        t_index = lambda j, i, bt=b_tiles: (  # noqa: E731
+            jax.lax.rem(i, bt), j
+        )
     g_p = _pad_rows(g.reshape(m, 1), m_padded)
     ws = [_pad_cols(w, f_padded) for w in weights]
     bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
@@ -620,7 +651,7 @@ def _fused_backward(grads_fn, h, weights, biases, t, g,
         )
         operands.append(b)
     in_specs.append(
-        pl.BlockSpec((tm, tf), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, tf), t_index, memory_space=pltpu.VMEM)
     )
     operands.append(t_p)
 
@@ -699,13 +730,18 @@ def _zinb_grads_packed(activations, t):
 # --------------------------------------------------------------------------
 # Grouped kernels: h carries a leading group axis (G, M, H) — the GMVAE's
 # K·S cluster-sample groups — while the targets t (M, F) are SHARED across
-# groups.  The flat kernels above would require broadcasting t to
-# (G·M, F) (≈42 MB materialised + re-read per step at GMVAE bench shapes);
-# here the group loop runs INSIDE the kernel body over a resident
-# (G, TM, H) h-block, so t and the weight tiles are read once per (row,
-# feature) tile regardless of G.  Reference counterpart: the per-cluster
-# reconstruction accumulation loops
-# (``gaussian_mixture_variational_autoencoder.py:3270-3329``).
+# groups; the group loop runs INSIDE the kernel body over a resident
+# (G, TM, H) h-block so t and the weight tiles are read once per (row,
+# feature) tile regardless of G.
+#
+# MEASURED SLOWER than the flat kernels on TPU v5e (GMVAE K=10, B=512:
+# 1.32 vs 1.07 ms/step — the (G, TM, H)-resident blocks force small row
+# tiles, and Mosaic compile of the unrolled G-loop took 1885 s vs 18 s).
+# The production GMVAE path therefore uses the FLAT kernels with a
+# shared-t index map (``fused_log_likelihood`` with 2-D t) — kept here as
+# the measured alternative and exercised by interpreter-mode tests.
+# Reference counterpart: the per-cluster reconstruction accumulation
+# loops (``gaussian_mixture_variational_autoencoder.py:3270-3329``).
 # --------------------------------------------------------------------------
 
 
@@ -1041,7 +1077,9 @@ def _make_fused_from(ll_fn, grads_fn, subtract_lgamma_const, compute_dtype):
     """custom_vjp wrapper around the generic forward/backward kernels.
     Head weights/biases travel as tuples (pytrees), so one wrapper serves
     any head count; the backward recomputes activations per tile instead
-    of storing them (flash-attention-style)."""
+    of storing them (flash-attention-style).  When ``h`` has more rows
+    than ``t`` (the GMVAE's K·S groups over shared targets), the t index
+    map cycles instead of broadcasting."""
 
     @jax.custom_vjp
     def fused(h, weights, biases, t):
@@ -1049,6 +1087,7 @@ def _make_fused_from(ll_fn, grads_fn, subtract_lgamma_const, compute_dtype):
             ll_fn, h, weights, biases, t,
             subtract_lgamma_const=subtract_lgamma_const,
             compute_dtype=compute_dtype,
+            t_groups=h.shape[0] // t.shape[0],
         )
 
     def fwd(h, weights, biases, t):
@@ -1059,6 +1098,7 @@ def _make_fused_from(ll_fn, grads_fn, subtract_lgamma_const, compute_dtype):
         dh, dws, dbs = _fused_backward(
             grads_fn, h, weights, biases, t, g,
             compute_dtype=compute_dtype,
+            t_groups=h.shape[0] // t.shape[0],
         )
         return dh, tuple(dws), tuple(dbs), jnp.zeros_like(t)
 
@@ -1067,10 +1107,12 @@ def _make_fused_from(ll_fn, grads_fn, subtract_lgamma_const, compute_dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_basic(name: str, compute_dtype=None):
+def _make_fused_basic(name: str, compute_dtype=None,
+                      subtract_lgamma_const=True):
     return _make_fused_from(
         _BASE_LL[name], _BASE_GRADS[name],
-        subtract_lgamma_const=True, compute_dtype=compute_dtype,
+        subtract_lgamma_const=subtract_lgamma_const,
+        compute_dtype=compute_dtype,
     )
 
 
@@ -1148,7 +1190,12 @@ def fused_categorised_log_likelihood(
     f = t.shape[-1]
     k = cat_kernel.shape[0] - 1
     h2 = h.reshape(-1, hidden)
-    t2 = jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
+    # 2-D t under extra lead axes rides the shared-t index map
+    t2 = (
+        t
+        if t.ndim == 2 and h2.shape[0] % t.shape[0] == 0
+        else jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
+    )
     ws, bs = _categorised_head_list(name, heads, cat_kernel, cat_bias)
     out = _make_fused_categorised(name, k, compute_dtype)(h2, ws, bs, t2)
     return out.reshape(lead_shape)
@@ -1390,24 +1437,36 @@ def fused_log_likelihood(
     t: jax.Array,
     count_sum: jax.Array | None = None,
     compute_dtype=None,
+    include_lgamma_const: bool = True,
 ) -> jax.Array:
     """Row-summed log p(t | heads(h)) with the fused Pallas path.
 
     ``h``: (..., H) decoder output; ``t``: (..., F) targets broadcastable
-    against the leading axes of ``h``; heads: {param: {kernel, bias}};
-    ``count_sum``: (..., 1) per-cell totals, required for
-    "constrained poisson"; ``compute_dtype``: optional narrow matmul input
-    dtype (bf16 inputs, f32 accumulation) for the head matmuls.  Returns
-    (...,) log-likelihood sums.
+    against the leading axes of ``h`` — a 2-D ``t`` under extra ``h``
+    lead axes (the GMVAE's K·S groups, IW samples) is NOT materialised:
+    the kernel's t index map cycles over the shared rows instead.
+    heads: {param: {kernel, bias}}; ``count_sum``: (..., 1) per-cell
+    totals, required for "constrained poisson"; ``compute_dtype``:
+    optional narrow matmul input dtype (bf16 inputs, f32 accumulation)
+    for the head matmuls.  ``include_lgamma_const=False`` omits the
+    −lgamma(1+t) constant (no gradient) so a caller evaluating the same
+    targets under many groups can add it back once instead of paying the
+    in-kernel lgamma per group.  Returns (...,) log-likelihood sums.
     """
     lead_shape = h.shape[:-1]
     hidden = h.shape[-1]
     f = t.shape[-1]
     h2 = h.reshape(-1, hidden)
-    t2 = jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
+    shared_t = t.ndim == 2 and h2.shape[0] % t.shape[0] == 0
+    t2 = (
+        t if shared_t
+        else jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
+    )
     if name == "constrained poisson":
         if count_sum is None:
             raise ValueError("constrained poisson requires count_sum")
+        if shared_t and t2.shape[0] != h2.shape[0]:
+            t2 = jnp.broadcast_to(t, lead_shape + (f,)).reshape(-1, f)
         n2 = jnp.broadcast_to(count_sum, lead_shape + (1,)).reshape(-1, 1)
         out = _fused_constrained_poisson(
             h2, heads["lambda"]["kernel"], heads["lambda"]["bias"], t2, n2
@@ -1415,7 +1474,10 @@ def fused_log_likelihood(
     elif name in _BASE_HEADS:
         ws = tuple(heads[p]["kernel"] for p in _BASE_HEADS[name])
         bs = tuple(heads[p]["bias"] for p in _BASE_HEADS[name])
-        out = _make_fused_basic(name, compute_dtype)(h2, ws, bs, t2)
+        out = _make_fused_basic(
+            name, compute_dtype,
+            subtract_lgamma_const=include_lgamma_const,
+        )(h2, ws, bs, t2)
     else:
         raise ValueError(f"No fused likelihood for {name!r}")
     return out.reshape(lead_shape)

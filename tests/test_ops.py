@@ -562,3 +562,124 @@ class TestGroupedKernels:
         np.testing.assert_allclose(
             np.asarray(grouped), np.asarray(flat), rtol=1e-4, atol=1e-3
         )
+
+
+class TestSharedTargetsFlatKernel:
+    """Flat kernels with 2-D shared t under extra h lead axes (round 3):
+    the t index map cycles instead of broadcasting, and the −lgamma(1+t)
+    constant can be hoisted out (``include_lgamma_const=False``)."""
+
+    def _make(self, g=3, b=16, hidden=16, f=24, seed=0):
+        rng = np.random.RandomState(seed)
+        h = jnp.asarray(rng.randn(g, b, hidden).astype(np.float32) * 0.5)
+        t = jnp.asarray(rng.poisson(2.0, (b, f)).astype(np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(seed), 2)
+        heads = {
+            "p": networks.init_dense(keys[0], hidden, f),
+            "log_r": networks.init_dense(keys[1], hidden, f),
+        }
+        return h, heads, t
+
+    def test_shared_t_matches_broadcast(self):
+        h, heads, t = self._make()
+        name = "negative binomial"
+        with pltpu.force_tpu_interpret_mode():
+            shared = fused_log_likelihood(name, h, heads, t)
+            broadcast = fused_log_likelihood(
+                name, h, heads,
+                jnp.broadcast_to(t, h.shape[:-1] + (t.shape[-1],)),
+            )
+        np.testing.assert_allclose(
+            np.asarray(shared), np.asarray(broadcast), rtol=1e-5, atol=1e-4
+        )
+
+    def test_lgamma_const_hoisting(self):
+        from scvae_tpu.ops import lgamma
+
+        h, heads, t = self._make()
+        name = "negative binomial"
+        with pltpu.force_tpu_interpret_mode():
+            full = fused_log_likelihood(name, h, heads, t)
+            raw = fused_log_likelihood(
+                name, h, heads, t, include_lgamma_const=False
+            )
+        hoisted = raw - jnp.sum(lgamma(1.0 + t), axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(hoisted), rtol=1e-5, atol=1e-3
+        )
+
+    def test_shared_t_gradients(self):
+        h, heads, t = self._make()
+        name = "negative binomial"
+        w = jnp.asarray(
+            np.random.RandomState(3).rand(*h.shape[:-1]).astype(np.float32)
+        )
+
+        def loss_shared(h, heads):
+            return jnp.sum(w * fused_log_likelihood(name, h, heads, t))
+
+        def loss_ref(h, heads):
+            rows = jnp.stack([
+                reference_log_likelihood(name, h[k], heads, t)
+                for k in range(h.shape[0])
+            ])
+            return jnp.sum(w * rows)
+
+        with pltpu.force_tpu_interpret_mode():
+            g_shared = jax.grad(loss_shared, argnums=(0, 1))(h, heads)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(h, heads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_shared),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3
+            )
+
+    def test_odd_rows_fall_back_to_broadcast(self):
+        # b=10 rows don't tile evenly; the kernel broadcasts internally
+        h, heads, t = self._make(g=2, b=10)
+        name = "negative binomial"
+        with pltpu.force_tpu_interpret_mode():
+            shared = fused_log_likelihood(name, h, heads, t)
+        for k in range(2):
+            expected = reference_log_likelihood(name, h[k], heads, t)
+            np.testing.assert_allclose(
+                np.asarray(shared[k]), np.asarray(expected),
+                rtol=1e-4, atol=1e-3,
+            )
+
+    def test_modulo_map_full_tiles(self):
+        """b=256 = one full row tile per group: exercises the actual
+        rem-index map (smaller b falls back to broadcast)."""
+        h, heads, t = self._make(g=2, b=256)
+        name = "negative binomial"
+
+        def loss_shared(h, heads):
+            return jnp.sum(fused_log_likelihood(name, h, heads, t))
+
+        with pltpu.force_tpu_interpret_mode():
+            shared = fused_log_likelihood(name, h, heads, t)
+            g_shared = jax.grad(loss_shared, argnums=(0, 1))(h, heads)
+
+        def loss_ref(h, heads):
+            rows = jnp.stack([
+                reference_log_likelihood(name, h[k], heads, t)
+                for k in range(h.shape[0])
+            ])
+            return jnp.sum(rows)
+
+        for k in range(2):
+            expected = reference_log_likelihood(name, h[k], heads, t)
+            np.testing.assert_allclose(
+                np.asarray(shared[k]), np.asarray(expected),
+                rtol=1e-4, atol=1e-3,
+            )
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(h, heads)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_shared),
+            jax.tree_util.tree_leaves(g_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-2
+            )
