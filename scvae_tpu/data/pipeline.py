@@ -269,15 +269,23 @@ def device_resident_data(
     """
     import jax
 
-    from scvae_tpu.ops.gather import can_pack, pack_rows
+    from scvae_tpu.ops.gather import FieldAlias, can_pack, pack_rows
 
     placed_by_id: dict[int, Any] = {}
+    first_name_by_id: dict[int, str] = {}
     out: dict[str, Any] = {}
     for name, arr in arrays.items():
         key = id(arr)
         if key in placed_by_id:
-            out[name] = placed_by_id[key]
+            placed = placed_by_id[key]
+            if hasattr(placed, "n_rows"):  # PackedRows
+                # zero-leaf alias: the packed buffer enters jit once and
+                # its gather kernel is shared (custom calls don't CSE)
+                out[name] = FieldAlias(first_name_by_id[key])
+            else:
+                out[name] = placed
             continue
+        first_name_by_id[key] = name
         storage_dtype = None
         if count_dtype is not None and name in ("x", "t"):
             candidates = (

@@ -389,17 +389,21 @@ class VariationalAutoencoder:
                 out = {k: 0.0 for k in scalar_keys}
             remainder = n - n_full
             if remainder:
-                from scvae_tpu.ops.gather import PackedRows, logical_slice
+                from scvae_tpu.ops.gather import (
+                    FieldAlias,
+                    PackedRows,
+                    logical_slice,
+                )
+
+                def tail_rows(v):
+                    if isinstance(v, FieldAlias):
+                        return tail_rows(data[v.target])
+                    if isinstance(v, PackedRows):
+                        return logical_slice(v, n_full, n)
+                    return v[n_full:n]
 
                 batch = step.cast_batch_to_f32(
-                    {
-                        k: (
-                            logical_slice(v, n_full, n)
-                            if isinstance(v, PackedRows)
-                            else v[n_full:n]
-                        )
-                        for k, v in data.items()
-                    }
+                    {k: tail_rows(v) for k, v in data.items()}
                 )
                 if mesh is not None:
                     from scvae_tpu.parallel import replicate_to_mesh

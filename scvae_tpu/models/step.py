@@ -54,10 +54,12 @@ def gather_batch(data, idx):
     Fields stored as :class:`~scvae_tpu.ops.gather.PackedRows` use the
     Pallas row-DMA gather (XLA's gather lowering runs ~6× below HBM
     bandwidth on this pattern); everything else falls back to
-    ``jnp.take``.  Aliased fields (x and t are usually the same matrix)
-    produce identical gather calls that XLA CSEs into one.
+    ``jnp.take``.  :class:`~scvae_tpu.ops.gather.FieldAlias` entries (x
+    and t are usually the same matrix) share one gather — the kernel is
+    a custom call XLA cannot CSE, so the dedup is structural.
     """
     from scvae_tpu.ops.gather import (
+        FieldAlias,
         PackedRows,
         gather_rows,
         supports_gather_batch,
@@ -65,6 +67,8 @@ def gather_batch(data, idx):
 
     batch = {}
     for k, v in data.items():
+        if isinstance(v, FieldAlias):
+            continue  # resolved below, after the target is gathered
         if isinstance(v, PackedRows):
             if supports_gather_batch(idx.shape[0]):
                 batch[k] = gather_rows(v, idx, (jnp.float32,))[0]
@@ -77,6 +81,11 @@ def gather_batch(data, idx):
                 )
         else:
             batch[k] = jnp.take(v, idx, axis=0)
+    for k, v in data.items():
+        # aliased fields share the gathered array — the gather kernel is
+        # a custom call XLA cannot CSE, so it must run once per source
+        if isinstance(v, FieldAlias):
+            batch[k] = batch[v.target]
     return batch
 
 

@@ -392,13 +392,19 @@ def reference_log_likelihood(name, h, heads, t, count_sum=None,
 
 def _make_forward_kernel(n_heads, ll_fn, subtract_lgamma_const=True,
                          compute_dtype=None):
+    # grid = (F tiles, M tiles), rows minor: each weight tile stays
+    # resident across the whole row loop (weights re-read once per
+    # feature tile instead of once per row tile — 4 MB vs 32 MB per step
+    # at the flagship shape); the row-sum output accumulates across the
+    # outer feature loop via read-modify-write block revisits, the same
+    # pattern the backward uses for dh.
     def kernel(*refs):
         h_ref = refs[0]
         w_refs = refs[1:1 + 2 * n_heads:2]
         b_refs = refs[2:2 + 2 * n_heads:2]
         t_ref = refs[1 + 2 * n_heads]
         o_ref = refs[2 + 2 * n_heads]
-        j = pl.program_id(1)
+        j = pl.program_id(0)
         h = h_ref[:]
         if compute_dtype is not None:
             # mixed-precision head matmuls: bf16 inputs, f32 accumulation
@@ -556,29 +562,29 @@ def _fused_forward(ll_fn, h, weights, biases, t,
         t_groups = 1
     if t_groups == 1:
         t_p = _pad_rows(t_p, m_padded)
-        t_index = lambda i, j: (i, j)  # noqa: E731
+        t_index = lambda j, i: (i, j)  # noqa: E731
     else:
         # h rows are t_groups contiguous blocks sharing the same (B, F)
         # targets (the GMVAE's K·S cluster-sample axis): the index map
         # cycles over t's row tiles instead of broadcasting t to (G·B, F)
         b_tiles = t.shape[0] // tm
-        t_index = lambda i, j, bt=b_tiles: (  # noqa: E731
+        t_index = lambda j, i, bt=b_tiles: (  # noqa: E731
             jax.lax.rem(i, bt), j
         )
     ws = [_pad_cols(w, f_padded) for w in weights]
     bs = [_pad_cols(b.reshape(1, f), f_padded) for b in biases]
 
     in_specs = [
-        pl.BlockSpec((tm, hidden), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((tm, hidden), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
     ]
     operands = [h_p]
     for w, b in zip(ws, bs):
         in_specs.append(
-            pl.BlockSpec((hidden, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((hidden, tf), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(w)
         in_specs.append(
-            pl.BlockSpec((1, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, tf), lambda j, i: (0, j), memory_space=pltpu.VMEM)
         )
         operands.append(b)
     in_specs.append(
@@ -589,10 +595,10 @@ def _fused_forward(ll_fn, h, weights, biases, t,
     out = pl.pallas_call(
         _make_forward_kernel(n_heads, ll_fn, subtract_lgamma_const,
                              compute_dtype),
-        grid=(m_padded // tm, f_padded // tf),
+        grid=(f_padded // tf, m_padded // tm),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (tm, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m_padded, 1), jnp.float32),
     )(*operands)

@@ -57,6 +57,17 @@ def can_pack(n_rows: int, n_cols: int, dtype) -> bool:
 
 
 @pytree_dataclass
+class FieldAlias:
+    """Marker for a batch field that aliases another field's source
+    array (x and t are usually the same count matrix).  It carries NO
+    pytree leaves — the aliased data enters jit once — so the per-step
+    gather kernel (a custom call XLA cannot CSE) runs once per unique
+    source instead of once per field."""
+
+    target: str = static_field()
+
+
+@pytree_dataclass
 class PackedRows:
     """An (N, F) row matrix stored packed as (N·a, F/a) for aligned row
     DMAs.  ``data`` is the packed device array; ``n_rows``/``n_cols``

@@ -683,3 +683,25 @@ class TestSharedTargetsFlatKernel:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-2
             )
+
+    def test_field_alias_shares_one_gather(self):
+        from scvae_tpu.data.pipeline import device_resident_data
+        from scvae_tpu.models.step import gather_batch
+        from scvae_tpu.ops.gather import FieldAlias, PackedRows
+
+        src = np.random.RandomState(0).poisson(
+            1.0, size=(64, 2048)
+        ).astype(np.int16)
+        data = device_resident_data(
+            {"x": src, "t": src}, count_dtype=np.int16, packed=True
+        )
+        assert isinstance(data["x"], PackedRows)
+        assert isinstance(data["t"], FieldAlias)
+        assert data["t"].target == "x"
+        idx = jnp.asarray(np.arange(16, dtype=np.int32))
+        with pltpu.force_tpu_interpret_mode():
+            batch = gather_batch(data, idx)
+        assert batch["x"] is batch["t"]
+        np.testing.assert_array_equal(
+            np.asarray(batch["t"]), src[:16].astype(np.float32)
+        )
