@@ -128,7 +128,22 @@ def main() -> None:
         file=sys.stderr,
         flush=True,
     )
-    data = {"x": x_dev, "t": x_dev}
+    # DMA-aligned packed layout + alias so the training scan uses the
+    # Pallas row gather once per step (device-side reshape; same bytes)
+    from scvae_tpu.ops.gather import FieldAlias, PackedRows, can_pack
+
+    if jax.default_backend() == "tpu" and can_pack(
+        n_cells, n_genes, np.int16
+    ):
+        a = 16  # int16 sublane alignment
+        packed = PackedRows(
+            data=x_dev.reshape(n_cells * a, n_genes // a),
+            n_rows=n_cells,
+            n_cols=n_genes,
+        )
+        data = {"x": packed, "t": FieldAlias("x")}
+    else:
+        data = {"x": x_dev, "t": x_dev}
 
     train_epoch = step.make_train_epoch(loss, optimizer)
     train_state = create_train_state(params, state, optimizer)
