@@ -127,3 +127,45 @@ def device_memory_stats() -> list[dict]:
             }
         )
     return stats
+
+
+def summarize_trace(trace_directory: str, top: int = 15) -> list[dict]:
+    """Aggregate a captured :func:`trace` into per-op total durations.
+
+    Parses the ``*.trace.json.gz`` Chrome-trace file jax.profiler writes
+    and returns the ``top`` entries as dictionaries with ``name``,
+    ``total_ms``, and ``count`` — the round-3 step-decomposition workflow
+    (find the slowest kernels without TensorBoard; e.g. the fused
+    likelihood backward, forward, and gather custom calls of one
+    training step).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(
+        glob.glob(
+            os.path.join(trace_directory, "**", "*.trace.json.gz"),
+            recursive=True,
+        )
+    )
+    if not paths:
+        raise FileNotFoundError(
+            f"No *.trace.json.gz under {trace_directory}"
+        )
+    totals: dict[str, float] = collections.defaultdict(float)
+    counts: dict[str, int] = collections.defaultdict(int)
+    with gzip.open(paths[-1]) as f:
+        events = json.load(f).get("traceEvents", [])
+    for event in events:
+        if event.get("ph") == "X":
+            name = event.get("name", "")
+            totals[name] += event.get("dur", 0) / 1e3
+            counts[name] += 1
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+    return [
+        {"name": name, "total_ms": round(ms, 3), "count": counts[name]}
+        for name, ms in ranked
+    ]

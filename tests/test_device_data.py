@@ -173,3 +173,60 @@ def test_api_device_vs_streaming_training(tmp_path):
     assert lb_stream[-1] > lb_stream[0]
     assert lb_device[-1] > lb_device[0]
     assert abs(lb_stream[-1] - lb_device[-1]) / abs(lb_stream[-1]) < 0.3
+
+
+class TestPackedEpochEndToEnd:
+    """Whole train_epoch over packed device data in interpreter mode —
+    the CI twin of benchmarks/tpu_gather_smoke.py: the Pallas row gather
+    + FieldAlias dedup + fused NB likelihood must reproduce the unpacked
+    jnp.take path's curve exactly."""
+
+    def test_packed_epoch_matches_unpacked(self):
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        from scvae_tpu.models import (
+            create_train_state,
+            make_optimizer,
+            vae,
+        )
+        from scvae_tpu.models.step import make_train_epoch
+
+        n, f, b = 64, 2048, 8
+        counts = np.random.RandomState(0).poisson(
+            0.3, size=(n, f)
+        ).astype(np.int16)
+        config = vae.VAEConfig(
+            feature_size=f, latent_size=4, hidden_sizes=(16,),
+            reconstruction_distribution="negative binomial",
+            minibatch_normalisation=True,
+            fused_likelihood=True,  # jnp reference path off-TPU…
+        )
+        optimizer = make_optimizer(1e-3)
+
+        def loss(params, model_state, batch, rng, wuw):
+            return vae.loss_fn(
+                config, params, model_state, batch, rng, warm_up_weight=wuw
+            )
+
+        perm = np.arange(16, dtype=np.int32).reshape(2, b)
+
+        def run(packed):
+            data = device_resident_data(
+                {"x": counts, "t": counts},
+                count_dtype=np.int16,
+                packed=packed,
+            )
+            params, state = vae.init(config, jax.random.PRNGKey(0))
+            ts = create_train_state(params, state, optimizer)
+            train_epoch = make_train_epoch(loss, optimizer, jit=False)
+            with pltpu.force_tpu_interpret_mode():
+                ts, metrics = train_epoch(
+                    ts, data, jax.numpy.asarray(perm),
+                    jax.random.PRNGKey(1), 1.0
+                )
+            return float(metrics["lower_bound"])
+
+        lb_unpacked = run(False)
+        lb_packed = run(True)
+        np.testing.assert_allclose(lb_packed, lb_unpacked, rtol=1e-6)

@@ -39,3 +39,37 @@ def test_enumerate_strings():
     assert enumerate_strings(["a"]) == "a"
     assert enumerate_strings(["a", "b"]) == "a and b"
     assert enumerate_strings(["a", "b", "c"], conjunction="or") == "a, b, or c"
+
+
+class TestTraceSummary:
+    def test_summarize_trace_parses_chrome_trace(self, tmp_path):
+        import gzip
+        import json
+        import os
+
+        from scvae_tpu.utils.profiling import summarize_trace
+
+        plugin = tmp_path / "plugins" / "profile" / "run1"
+        os.makedirs(plugin)
+        events = {
+            "traceEvents": [
+                {"ph": "X", "name": "fusion.1", "dur": 1500},
+                {"ph": "X", "name": "fusion.1", "dur": 500},
+                {"ph": "X", "name": "custom-call.2", "dur": 3000},
+                {"ph": "M", "name": "process_name", "args": {}},
+            ]
+        }
+        with gzip.open(plugin / "host.trace.json.gz", "wt") as f:
+            json.dump(events, f)
+        out = summarize_trace(str(tmp_path), top=5)
+        assert out[0]["name"] == "custom-call.2"
+        assert out[0]["total_ms"] == 3.0
+        assert out[1] == {"name": "fusion.1", "total_ms": 2.0, "count": 2}
+
+    def test_summarize_trace_missing(self, tmp_path):
+        import pytest
+
+        from scvae_tpu.utils.profiling import summarize_trace
+
+        with pytest.raises(FileNotFoundError):
+            summarize_trace(str(tmp_path))
