@@ -28,6 +28,21 @@ from scvae_tpu.models.utilities import (
 )
 
 
+def _packed_stratification(data: dict) -> tuple[int, int | None]:
+    """(shards, padded_rows) when the device data dict holds mesh-sharded
+    ``PackedRows`` — the training/eval index batches must then be
+    shard-stratified so every device's row-DMA gather stays local
+    (``step.epoch_permutation`` / ``step.stratified_sequential_batches``).
+    Plain (unsharded or unpacked) data returns (1, None): global
+    permutations, identical to the single-device path."""
+    from scvae_tpu.ops.gather import PackedRows
+
+    for value in data.values():
+        if isinstance(value, PackedRows) and value.mesh is not None:
+            return value.mesh.shape[value.data_axis], value.n_rows
+    return 1, None
+
+
 class VariationalAutoencoder:
     """VAE with train/evaluate/sample (reference API parity)."""
 
@@ -270,7 +285,7 @@ class VariationalAutoencoder:
         optimizer = step.make_optimizer(self.config.learning_rate)
         return step.create_train_state(params, model_state, optimizer)
 
-    def _loss_fn(self, n_iw: int, n_mc: int):
+    def _loss_fn(self, n_iw: int, n_mc: int, mesh=None):
         config = self.config
 
         def loss(params, model_state, batch, rng, warm_up_weight):
@@ -283,6 +298,7 @@ class VariationalAutoencoder:
                 n_iw=n_iw,
                 n_mc=n_mc,
                 warm_up_weight=warm_up_weight,
+                mesh=mesh,
             )
 
         return loss
@@ -366,7 +382,7 @@ class VariationalAutoencoder:
 
     def _device_evaluator(
         self, eval_epoch, eval_step, data, n: int, batch_size: int,
-        mesh=None,
+        mesh=None, stratify_shards: int = 1,
     ):
         """Scan-based full-pass evaluation with a remainder batch.
 
@@ -374,8 +390,20 @@ class VariationalAutoencoder:
         carry zero-padded rows (sharding divisibility), which the
         remainder slice must exclude — and the remainder batch is placed
         replicated so every chip computes it identically.
+
+        ``stratify_shards > 1`` (mesh-sharded packed data): sequential
+        batches are shard-stratified so each device's row-DMA gather
+        stays local; the uncovered per-shard tails merge into one
+        remainder batch, weighted exactly like the single-device tail.
         """
-        idx = step.sequential_batches(n, batch_size)
+        if stratify_shards > 1:
+            _, n_padded = _packed_stratification(data)
+            idx, tail_ranges = step.stratified_sequential_batches(
+                n_padded, n, batch_size, stratify_shards
+            )
+        else:
+            idx = step.sequential_batches(n, batch_size)
+            tail_ranges = [(int(idx.size), n)] if n - int(idx.size) else []
         n_full = int(idx.size)
         scalar_keys = step.EVAL_METRIC_KEYS
 
@@ -398,9 +426,19 @@ class VariationalAutoencoder:
                 def tail_rows(v):
                     if isinstance(v, FieldAlias):
                         return tail_rows(data[v.target])
-                    if isinstance(v, PackedRows):
-                        return logical_slice(v, n_full, n)
-                    return v[n_full:n]
+                    pieces = [
+                        (
+                            logical_slice(v, start, stop)
+                            if isinstance(v, PackedRows)
+                            else v[start:stop]
+                        )
+                        for start, stop in tail_ranges
+                    ]
+                    if len(pieces) == 1:
+                        return pieces[0]
+                    return np.concatenate(
+                        [np.asarray(p) for p in pieces], axis=0
+                    )
 
                 batch = step.cast_batch_to_f32(
                     {k: tail_rows(v) for k, v in data.items()}
@@ -615,7 +653,7 @@ class VariationalAutoencoder:
             train_state = parallel.shard_train_state(train_state, mesh)
             batch_constraint = parallel.batch_sharding(mesh)
 
-        loss_fn = self._loss_fn(n_iw, n_mc)
+        loss_fn = self._loss_fn(n_iw, n_mc, mesh=mesh)
         eval_step = step.make_eval_step(self._eval_fn(n_iw, n_mc))
 
         noisy = None
@@ -651,14 +689,17 @@ class VariationalAutoencoder:
                 sharding=data_sharding,
                 pad_rows_to_multiple_of=data_shards,
             )
+            strat_shards, n_train_padded = _packed_stratification(train_data)
             run_epoch = training.device_epoch_runner(
                 train_epoch, train_data, n_train, scaled_batch, seed,
                 lazy=metrics_fetch == "deferred",
+                stratify_shards=strat_shards,
+                n_padded=n_train_padded,
             )
             evaluate_training = (
                 self._device_evaluator(
                     eval_epoch, eval_step, train_data, n_train, scaled_batch,
-                    mesh=mesh,
+                    mesh=mesh, stratify_shards=strat_shards,
                 )
                 if full_train_evaluation
                 else None
@@ -671,13 +712,14 @@ class VariationalAutoencoder:
                     sharding=data_sharding,
                     pad_rows_to_multiple_of=data_shards,
                 )
+                valid_strat, _ = _packed_stratification(validation_data)
                 evaluate_validation = self._device_evaluator(
                     eval_epoch,
                     eval_step,
                     validation_data,
                     validation_set.number_of_examples,
                     scaled_batch,
-                    mesh=mesh,
+                    mesh=mesh, stratify_shards=valid_strat,
                 )
         else:
             train_step = step.make_train_step(loss_fn, optimizer, donate=False)

@@ -497,8 +497,13 @@ def elbo_terms(
     n_iw: int = 1,
     n_mc: int = 1,
     warm_up_weight: jax.Array | float = 1.0,
+    mesh=None,
 ) -> tuple[dict[str, jax.Array], GMVAEOutputs]:
-    """y-marginalised ELBO (reference ``:3223-3434``)."""
+    """y-marginalised ELBO (reference ``:3223-3434``).
+
+    ``mesh``: route the fused Pallas likelihood through the shard_map
+    wrappers (:mod:`scvae_tpu.ops.sharded`) so the fast path composes
+    with data/tensor parallelism."""
     from scvae_tpu.models.vae import _fused_path_enabled
 
     use_fused = _fused_path_enabled(config) and training
@@ -563,23 +568,65 @@ def elbo_terms(
             if config.use_count_sum_as_parameter
             else None
         )
+        use_pallas = ops.pallas_enabled()
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        use_sharded = use_pallas and mesh is not None and b % n_data == 0
         if config.k_max:
-            fused = (
-                ops.fused_categorised_log_likelihood
-                if jax.default_backend() == "tpu"
-                else ops.reference_categorised_log_likelihood
-            )
-            log_p_x = fused(
-                config.reconstruction_distribution,
-                outputs.decoder_hidden,
-                params["reconstruction"],
-                params["categorised_logits"]["kernel"],
-                params["categorised_logits"]["bias"],
-                t,
-                compute_dtype=config.compute_dtype(training),
-            )  # (K, S, B)
+            if use_sharded:
+                log_p_x = ops.sharded_fused_categorised_log_likelihood(
+                    config.reconstruction_distribution,
+                    outputs.decoder_hidden,
+                    params["reconstruction"],
+                    params["categorised_logits"]["kernel"],
+                    params["categorised_logits"]["bias"],
+                    t,
+                    mesh=mesh,
+                    compute_dtype=config.compute_dtype(training),
+                )  # (K, S, B)
+            else:
+                fused = (
+                    ops.fused_categorised_log_likelihood
+                    if use_pallas and mesh is None
+                    else ops.reference_categorised_log_likelihood
+                )
+                log_p_x = fused(
+                    config.reconstruction_distribution,
+                    outputs.decoder_hidden,
+                    params["reconstruction"],
+                    params["categorised_logits"]["kernel"],
+                    params["categorised_logits"]["bias"],
+                    t,
+                    compute_dtype=config.compute_dtype(training),
+                )  # (K, S, B)
+        elif use_sharded:
+            dec_h = outputs.decoder_hidden  # (K, S, B, H)
+            if count_sum is None:
+                # Shared-t fast path under the mesh: same lgamma-const
+                # hoisting as below, with the sharded kernel wrapper.
+                from scvae_tpu.ops.special import lgamma as _lgamma
+
+                log_p_x = ops.sharded_fused_log_likelihood(
+                    config.reconstruction_distribution,
+                    dec_h,
+                    params["reconstruction"],
+                    t,
+                    mesh=mesh,
+                    compute_dtype=config.compute_dtype(training),
+                    include_lgamma_const=False,
+                )  # (K, S, B)
+                log_p_x = log_p_x - jnp.sum(_lgamma(1.0 + t), axis=-1)
+            else:
+                log_p_x = ops.sharded_fused_log_likelihood(
+                    config.reconstruction_distribution,
+                    dec_h,
+                    params["reconstruction"],
+                    t,
+                    mesh=mesh,
+                    count_sum=count_sum,
+                    compute_dtype=config.compute_dtype(training),
+                )  # (K, S, B)
         else:
-            on_tpu = jax.default_backend() == "tpu"
+            on_tpu = use_pallas and mesh is None
             dec_h = outputs.decoder_hidden  # (K, S, B, H)
             if on_tpu and count_sum is None:
                 # Shared-t fast path: t stays (B, F) — the kernel's index
@@ -660,10 +707,12 @@ def loss_fn(
     n_iw: int = 1,
     n_mc: int = 1,
     warm_up_weight: jax.Array | float = 1.0,
+    mesh=None,
 ):
     metrics, outputs = elbo_terms(
         config, params, state, batch, rng,
         training=True, n_iw=n_iw, n_mc=n_mc, warm_up_weight=warm_up_weight,
+        mesh=mesh,
     )
     return -metrics["lower_bound_weighted"], (metrics, outputs.new_state)
 

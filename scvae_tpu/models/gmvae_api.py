@@ -195,13 +195,14 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
         optimizer = step.make_optimizer(self.config.learning_rate)
         return step.create_train_state(params, model_state, optimizer)
 
-    def _loss_fn(self, n_iw: int, n_mc: int):
+    def _loss_fn(self, n_iw: int, n_mc: int, mesh=None):
         config = self.config
 
         def loss(params, model_state, batch, rng, warm_up_weight):
             return gmvae.loss_fn(
                 config, params, model_state, batch, rng,
                 n_iw=n_iw, n_mc=n_mc, warm_up_weight=warm_up_weight,
+                mesh=mesh,
             )
 
         return loss

@@ -62,7 +62,7 @@ def gather_batch(data, idx):
         FieldAlias,
         PackedRows,
         gather_rows,
-        supports_gather_batch,
+        supports_sharded_gather_batch,
     )
 
     batch = {}
@@ -70,7 +70,7 @@ def gather_batch(data, idx):
         if isinstance(v, FieldAlias):
             continue  # resolved below, after the target is gathered
         if isinstance(v, PackedRows):
-            if supports_gather_batch(idx.shape[0]):
+            if supports_sharded_gather_batch(v, idx.shape[0]):
                 batch[k] = gather_rows(v, idx, (jnp.float32,))[0]
             else:
                 rows = jnp.take(
@@ -87,6 +87,26 @@ def gather_batch(data, idx):
         if isinstance(v, FieldAlias):
             batch[k] = batch[v.target]
     return batch
+
+
+def materialize_batch(batch):
+    """Densify any :class:`~scvae_tpu.data.pipeline.CSRWire` fields on
+    device: a scatter-add of the padded-COO wire into a zero (B, F)
+    matrix (padding entries carry row == B and are dropped).  The host
+    ships ~5-7× fewer bytes at single-cell sparsity; XLA fuses the cast
+    and the downstream f32 promotion."""
+    from scvae_tpu.data.pipeline import CSRWire
+
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, CSRWire):
+            dense = jnp.zeros((v.n_rows, v.n_cols), jnp.float32)
+            out[k] = dense.at[
+                v.rows.astype(jnp.int32), v.cols.astype(jnp.int32)
+            ].add(v.data.astype(jnp.float32), mode="drop")
+        else:
+            out[k] = v
+    return out
 
 
 def cast_batch_to_f32(batch):
@@ -116,7 +136,7 @@ def make_train_step(
     """
 
     def train_step(ts: TrainState, batch, rng, warm_up_weight):
-        batch = cast_batch_to_f32(batch)
+        batch = cast_batch_to_f32(materialize_batch(batch))
         (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params, ts.model_state, batch, rng, warm_up_weight)
@@ -138,7 +158,10 @@ def make_train_step(
 
 def make_eval_step(eval_fn: Callable[..., dict[str, jax.Array]], *, jit: bool = True):
     def eval_step(params, model_state, batch, rng):
-        return eval_fn(params, model_state, cast_batch_to_f32(batch), rng)
+        return eval_fn(
+            params, model_state,
+            cast_batch_to_f32(materialize_batch(batch)), rng,
+        )
 
     if jit:
         return jax.jit(eval_step)
@@ -268,19 +291,88 @@ def sequential_batches(n: int, batch_size: int) -> "np.ndarray":
     )
 
 
-def epoch_permutation(
-    n: int, batch_size: int, seed_rng: "np.random.RandomState"
-) -> "np.ndarray":
-    """Host-side shuffled (n_batches, B) index array, dropping the
-    remainder (static shapes for the scan)."""
+def _shard_real_counts(n_padded: int, n_real: int, shards: int):
+    shard_rows = n_padded // shards
+    return shard_rows, [
+        max(0, min(shard_rows, n_real - d * shard_rows))
+        for d in range(shards)
+    ]
+
+
+def stratified_sequential_batches(
+    n_padded: int, n_real: int, batch_size: int, shards: int
+):
+    """Shard-stratified sequential batches for the mesh-sharded packed
+    layout: batch column block d draws only from data shard d's row range
+    (rows [d·Np/s, (d+1)·Np/s) of the zero-padded device array), so each
+    device gathers purely local rows.
+
+    Returns ``(idx, leftovers)``: ``idx`` is (n_batches, B); ``leftovers``
+    is a list of (start, stop) real-row ranges the full batches did not
+    cover (per-shard tails — evaluation handles them in one remainder
+    call, like the single-device path's tail slice)."""
     import numpy as np
 
-    perm = seed_rng.permutation(n)
-    n_batches = n // batch_size
-    return np.asarray(
-        perm[: n_batches * batch_size].reshape(n_batches, batch_size),
-        np.int32,
-    )
+    block = batch_size // shards
+    shard_rows, counts = _shard_real_counts(n_padded, n_real, shards)
+    n_batches = min(c // block for c in counts)
+    blocks = [
+        d * shard_rows
+        + np.arange(n_batches * block, dtype=np.int32).reshape(
+            n_batches, block
+        )
+        for d in range(shards)
+    ]
+    idx = np.concatenate(blocks, axis=1)
+    leftovers = [
+        (d * shard_rows + n_batches * block, d * shard_rows + counts[d])
+        for d in range(shards)
+        if counts[d] > n_batches * block
+    ]
+    return idx, leftovers
+
+
+def epoch_permutation(
+    n: int,
+    batch_size: int,
+    seed_rng: "np.random.RandomState",
+    *,
+    data_shards: int = 1,
+    n_real: int | None = None,
+) -> "np.ndarray":
+    """Host-side shuffled (n_batches, B) index array, dropping the
+    remainder (static shapes for the scan).
+
+    ``data_shards > 1`` produces a SHARD-STRATIFIED shuffle for the
+    mesh-sharded packed layout (``ops.gather.PackedRows`` with a mesh):
+    ``n`` is then the zero-padded device row count, ``n_real`` the real
+    row count, and batch column block d permutes only shard d's real
+    rows — every device's row-DMA gather stays local.  Within-shard order
+    is uniformly random; cells were assigned to shards by dataset order,
+    so for i.i.d. cells the minibatch distribution matches a global
+    shuffle (the composition of each batch across shards is fixed, the
+    membership within shards is not)."""
+    import numpy as np
+
+    if data_shards <= 1:
+        perm = seed_rng.permutation(n)
+        n_batches = n // batch_size
+        return np.asarray(
+            perm[: n_batches * batch_size].reshape(n_batches, batch_size),
+            np.int32,
+        )
+    n_real = n if n_real is None else n_real
+    block = batch_size // data_shards
+    shard_rows, counts = _shard_real_counts(n, n_real, data_shards)
+    n_batches = min(c // block for c in counts)
+    blocks = [
+        (
+            d * shard_rows
+            + seed_rng.permutation(counts[d])[: n_batches * block]
+        ).reshape(n_batches, block)
+        for d in range(data_shards)
+    ]
+    return np.concatenate(blocks, axis=1).astype(np.int32)
 
 
 def tree_finite(tree: Any) -> jax.Array:

@@ -118,17 +118,32 @@ def device_epoch_runner(
     seed: int,
     *,
     lazy: bool = False,
+    stratify_shards: int = 1,
+    n_padded: int | None = None,
 ) -> EpochRunner:
     """Whole-epoch lax.scan over device-resident data.
 
     ``lazy=True`` returns the metric as a device value without the host
     fetch — required for ``fetch_mode="deferred"`` where the fetch happens
-    one epoch later, under the next epoch's compute."""
+    one epoch later, under the next epoch's compute.
+
+    ``stratify_shards > 1`` (mesh-sharded packed data, ``n_padded`` =
+    zero-padded device row count): shard-stratified shuffles so the
+    per-device row-DMA gathers stay local.  Deterministic given (seed,
+    epoch, shard count) — resume at the SAME device count exactly
+    continues the batch stream; a different device count changes the
+    stratification (training stays correct, batch composition differs)."""
     from scvae_tpu.models.step import epoch_permutation
 
     def run_epoch(train_state, epoch, wuw, rng):
         perm_rng = np.random.RandomState(seed + epoch)
-        perm = epoch_permutation(n_examples, batch_size, perm_rng)
+        if stratify_shards > 1:
+            perm = epoch_permutation(
+                n_padded, batch_size, perm_rng,
+                data_shards=stratify_shards, n_real=n_examples,
+            )
+        else:
+            perm = epoch_permutation(n_examples, batch_size, perm_rng)
         train_state, metrics = train_epoch(train_state, data, perm, rng, wuw)
         if lazy:
             return train_state, {"lower_bound": metrics["lower_bound"]}

@@ -279,7 +279,9 @@ def _fused_path_enabled(config: VAEConfig) -> bool:
         # Auto: on for TPU (measured faster with the bf16 trunk — see
         # VAEConfig.fused_likelihood), off elsewhere (the jnp reference
         # implementation has no advantage over plain XLA on CPU).
-        return jax.default_backend() == "tpu"
+        from scvae_tpu.ops import pallas_enabled
+
+        return pallas_enabled()
     return True
 
 
@@ -466,8 +468,14 @@ def elbo_terms(
     n_mc: int = 1,
     warm_up_weight: jax.Array | float = 1.0,
     deterministic_z: bool = False,
+    mesh=None,
 ) -> tuple[dict[str, jax.Array], VAEOutputs]:
     """Compute the ELBO decomposition (reference ``:2560-2734``).
+
+    ``mesh``: when set, the fused Pallas likelihood routes through the
+    ``shard_map`` wrappers of :mod:`scvae_tpu.ops.sharded` (GSPMD cannot
+    partition the Pallas custom calls, so without this the fast path
+    would not compose with data/tensor parallelism).
 
     Returns metrics:
       * ``lower_bound`` — IW bound: mean over (L, B) of log-mean-exp over R
@@ -497,43 +505,70 @@ def elbo_terms(
 
     if use_fused:
         # Fused Pallas path: head matmuls + log_prob + feature sum in one
-        # kernel; (S, B) → (R, L, B).
+        # kernel; (S, B) → (R, L, B).  Under a mesh the kernels run in
+        # shard_map (ops.sharded) — GSPMD cannot partition custom calls.
         from scvae_tpu import ops
 
+        use_pallas = ops.pallas_enabled()
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        use_sharded = use_pallas and mesh is not None and b % n_data == 0
         if config.k_max:
-            fused = (
-                ops.fused_categorised_log_likelihood
-                if jax.default_backend() == "tpu"
-                else ops.reference_categorised_log_likelihood
-            )
-            rows = fused(
-                config.reconstruction_distribution,
-                outputs.decoder_hidden,
-                params["reconstruction"],
-                params["categorised_logits"]["kernel"],
-                params["categorised_logits"]["bias"],
-                t,
-                compute_dtype=config.compute_dtype(training),
-            )
+            if use_sharded:
+                rows = ops.sharded_fused_categorised_log_likelihood(
+                    config.reconstruction_distribution,
+                    outputs.decoder_hidden,
+                    params["reconstruction"],
+                    params["categorised_logits"]["kernel"],
+                    params["categorised_logits"]["bias"],
+                    t,
+                    mesh=mesh,
+                    compute_dtype=config.compute_dtype(training),
+                )
+            else:
+                fused = (
+                    ops.fused_categorised_log_likelihood
+                    if use_pallas and mesh is None
+                    else ops.reference_categorised_log_likelihood
+                )
+                rows = fused(
+                    config.reconstruction_distribution,
+                    outputs.decoder_hidden,
+                    params["reconstruction"],
+                    params["categorised_logits"]["kernel"],
+                    params["categorised_logits"]["bias"],
+                    t,
+                    compute_dtype=config.compute_dtype(training),
+                )
         else:
             count_sum = (
                 batch["count_sum"]
                 if config.use_count_sum_as_parameter
                 else None
             )
-            fused = (
-                ops.fused_log_likelihood
-                if jax.default_backend() == "tpu"
-                else ops.reference_log_likelihood
-            )
-            rows = fused(
-                config.reconstruction_distribution,
-                outputs.decoder_hidden,
-                params["reconstruction"],
-                t,
-                count_sum=count_sum,
-                compute_dtype=config.compute_dtype(training),
-            )
+            if use_sharded:
+                rows = ops.sharded_fused_log_likelihood(
+                    config.reconstruction_distribution,
+                    outputs.decoder_hidden,
+                    params["reconstruction"],
+                    t,
+                    mesh=mesh,
+                    count_sum=count_sum,
+                    compute_dtype=config.compute_dtype(training),
+                )
+            else:
+                fused = (
+                    ops.fused_log_likelihood
+                    if use_pallas and mesh is None
+                    else ops.reference_log_likelihood
+                )
+                rows = fused(
+                    config.reconstruction_distribution,
+                    outputs.decoder_hidden,
+                    params["reconstruction"],
+                    t,
+                    count_sum=count_sum,
+                    compute_dtype=config.compute_dtype(training),
+                )
         log_p_x_given_z = jnp.reshape(rows, (n_iw, n_mc, b))
     else:
         # log p(x|z): (S, B, F) → sum features → (R, L, B)
@@ -666,6 +701,7 @@ def loss_fn(
     n_iw: int = 1,
     n_mc: int = 1,
     warm_up_weight: jax.Array | float = 1.0,
+    mesh=None,
 ) -> tuple[jax.Array, tuple[dict[str, jax.Array], State]]:
     """Training objective: −lower_bound_weighted (reference ``:2755``)."""
     metrics, outputs = elbo_terms(
@@ -678,5 +714,6 @@ def loss_fn(
         n_iw=n_iw,
         n_mc=n_mc,
         warm_up_weight=warm_up_weight,
+        mesh=mesh,
     )
     return -metrics["lower_bound_weighted"], (metrics, outputs.new_state)

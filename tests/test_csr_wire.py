@@ -1,0 +1,168 @@
+"""Sparse CSR wire format for the streaming path (round 4, VERDICT r03
+item 4): counts ship host→device as padded COO (~5-7× fewer bytes at
+single-cell sparsity) and densify on device; training must be
+bit-identical to the dense wire."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+import jax
+import jax.numpy as jnp
+
+
+def _sparse_counts(n, f, density=0.08, seed=0):
+    rng = np.random.RandomState(seed)
+    m = scipy.sparse.random(
+        n, f, density=density, format="csr", random_state=rng,
+        data_rvs=lambda k: rng.poisson(3.0, k) + 1.0,
+    )
+    m.data = m.data.astype(np.float32)
+    return m
+
+
+class TestCSRWireUnit:
+    def test_pipeline_emits_csr_wire(self):
+        from scvae_tpu.data.pipeline import BatchPipeline, CSRWire
+
+        counts = _sparse_counts(256, 128)
+        pipe = BatchPipeline(
+            {"x": counts, "t": counts}, 64, shuffle=False,
+            count_dtype=(np.int16, np.int32),
+        )
+        assert pipe._csr_wire  # auto engaged at 8% density
+        batch = next(iter(pipe.epoch()))
+        assert isinstance(batch["x"], CSRWire)
+        assert batch["x"] is batch["t"]  # aliased fields share one wire
+        assert batch["x"].shape == (64, 128)
+
+    def test_materialize_matches_dense(self):
+        from scvae_tpu.data.pipeline import BatchPipeline
+        from scvae_tpu.models.step import materialize_batch
+
+        counts = _sparse_counts(256, 128)
+        pipe = BatchPipeline(
+            {"x": counts}, 64, shuffle=True, seed=3,
+            count_dtype=(np.int16, np.int32),
+        )
+        # reproduce the pipeline's shuffled indices
+        rng = np.random.RandomState(3)
+        idx_all = rng.permutation(256)
+        for i, batch in enumerate(pipe.epoch()):
+            dense = np.asarray(materialize_batch(batch)["x"])
+            idx = idx_all[i * 64:(i + 1) * 64]
+            np.testing.assert_array_equal(
+                dense, counts[idx].toarray().astype(np.float32)
+            )
+
+    def test_wire_bytes_reduction(self):
+        from scvae_tpu.data.pipeline import BatchPipeline, CSRWire
+
+        n, f, b = 2048, 2048, 512
+        counts = _sparse_counts(n, f, density=0.07)
+        pipe = BatchPipeline(
+            {"x": counts, "t": counts}, b, shuffle=False,
+            count_dtype=np.int16,
+        )
+        batch = next(iter(pipe.epoch()))
+        wire = batch["x"]
+        assert isinstance(wire, CSRWire)
+        wire_bytes = sum(
+            np.asarray(a).nbytes for a in (wire.data, wire.cols, wire.rows)
+        )
+        dense_bytes = b * f * 2  # int16 dense wire
+        assert wire_bytes * 3 <= dense_bytes, (
+            f"CSR wire {wire_bytes} not ≥3× smaller than dense {dense_bytes}"
+        )
+
+    def test_dense_fallback_when_capacity_overflows(self):
+        from scvae_tpu.data.pipeline import BatchPipeline, CSRWire
+
+        counts = _sparse_counts(256, 128)
+        pipe = BatchPipeline(
+            {"x": counts}, 64, shuffle=False, count_dtype=np.int16,
+        )
+        pipe._csr_wire["x"]["capacity"] = 8  # force overflow
+        batch = next(iter(pipe.epoch()))
+        assert not isinstance(batch["x"], CSRWire)
+        np.testing.assert_array_equal(
+            np.asarray(batch["x"], np.float32),
+            counts[:64].toarray().astype(np.float32),
+        )
+
+    def test_wire_off_for_dense_float_input(self):
+        from scvae_tpu.data.pipeline import BatchPipeline
+
+        dense = np.random.RandomState(0).normal(size=(128, 32)).astype(
+            np.float32
+        )
+        pipe = BatchPipeline({"x": dense}, 32, count_dtype=np.int16)
+        assert not pipe._csr_wire
+
+
+class TestCSRWireTraining:
+    def test_streaming_training_matches_dense_wire(self, tmp_path):
+        """Full ``train()`` with the streaming path: CSR wire vs dense
+        wire must produce identical learning curves (the densified batch
+        is exactly the same matrix)."""
+        from scvae_tpu.data import DataSet
+        from scvae_tpu.models import VariationalAutoencoder
+
+        counts = _sparse_counts(400, 64, density=0.1)
+
+        def dataset(kind, sl):
+            rows = counts[sl]
+            return DataSet(
+                "csr_wire", title="csr wire", specifications={},
+                values=rows,
+                example_names=np.array(
+                    [f"cell {i}" for i in range(rows.shape[0])]
+                ),
+                feature_names=np.array([f"gene {j}" for j in range(64)]),
+                kind=kind, version="original",
+            )
+
+        def train(tag, wire_format):
+            import scvae_tpu.data.pipeline as pipeline_module
+
+            model = VariationalAutoencoder(
+                feature_size=64, latent_size=4, hidden_sizes=[16],
+                reconstruction_distribution="negative binomial",
+                minibatch_normalisation=True,
+                log_directory=str(tmp_path / tag),
+            )
+            original = pipeline_module.BatchPipeline
+
+            class Forced(original):
+                def __init__(self, *args, **kwargs):
+                    kwargs["wire_format"] = wire_format
+                    super().__init__(*args, **kwargs)
+
+            pipeline_module.BatchPipeline = Forced
+            import scvae_tpu.models.api as api_module
+
+            api_original = api_module.BatchPipeline
+            api_module.BatchPipeline = Forced
+            try:
+                return model.train(
+                    dataset("training", slice(0, 320)),
+                    dataset("validation", slice(320, 400)),
+                    number_of_epochs=2, minibatch_size=64, seed=0,
+                    verbose=False, data_placement="streaming",
+                )
+            finally:
+                pipeline_module.BatchPipeline = original
+                api_module.BatchPipeline = api_original
+
+        r_csr = train("csr", "csr")
+        r_dense = train("dense", "dense")
+        np.testing.assert_allclose(
+            r_csr.history["training"]["lower_bound"],
+            r_dense.history["training"]["lower_bound"],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            r_csr.history["validation"]["lower_bound"],
+            r_dense.history["validation"]["lower_bound"],
+            rtol=1e-6,
+        )
