@@ -137,7 +137,8 @@ def analytic_train_flops_per_cell(config) -> float:
 class EpochRunner:
     """Dispatch n training epochs back-to-back with ONE final host fetch."""
 
-    def __init__(self, config, data, n_cells, batch, seed=0):
+    def __init__(self, config, data, n_cells, batch, seed=0,
+                 batch_dtypes=None):
         import jax
 
         from scvae_tpu.models import create_train_state, make_optimizer
@@ -147,6 +148,9 @@ class EpochRunner:
         module = (
             gmvae if config.__class__.__name__ == "GMVAEConfig" else vae
         )
+        from scvae_tpu.models.api import _append_lgamma_rowsum
+
+        data = _append_lgamma_rowsum(data, config)
         rng = jax.random.PRNGKey(seed)
         params, state = module.init(config, rng)
         optimizer = make_optimizer(1e-4)
@@ -166,7 +170,9 @@ class EpochRunner:
                 warm_up_weight=warm_up_weight,
             )
 
-        self.train_epoch = make_train_epoch(loss, optimizer)
+        self.train_epoch = make_train_epoch(
+            loss, optimizer, batch_dtypes=batch_dtypes
+        )
         self._e = 0
 
     def run(self, n_epochs: int) -> float:
@@ -204,8 +210,10 @@ def slope_time_epochs(runner, k1=2, k2=8, reps=3):
     return per_epoch, floor_ms
 
 
-def bench_training(config, data, n_cells, batch, budget_key, configs):
-    runner = EpochRunner(config, data, n_cells, batch)
+def bench_training(config, data, n_cells, batch, budget_key, configs,
+                   batch_dtypes=None):
+    runner = EpochRunner(config, data, n_cells, batch,
+                         batch_dtypes=batch_dtypes)
     per_epoch, floor_ms = slope_time_epochs(runner)
     steps = runner.steps_per_epoch
     cells_per_sec = steps * batch / per_epoch
@@ -354,6 +362,7 @@ def main() -> None:
 
     log("generating synthetic counts…")
     values = make_counts(N_CELLS, N_GENES)
+    host_arrays = {"x": values, "t": values}
     log("staging data in HBM…")
     data = device_resident_data(
         {"x": values, "t": values}, count_dtype=np.int16
@@ -402,8 +411,11 @@ def main() -> None:
         minibatch_normalisation=True, number_of_warm_up_epochs=200,
     )
     log("benchmarking VAE-NB…")
+    from scvae_tpu.models.api import _bf16_batch_dtypes
+
     cells_per_sec, flops_per_sec = bench_training(
-        config, data, N_CELLS, BATCH, "vae_nb", configs
+        config, data, N_CELLS, BATCH, "vae_nb", configs,
+        batch_dtypes=_bf16_batch_dtypes(host_arrays, config),
     )
     tflops = flops_per_sec / 1e12
     peak = BF16_PEAK_TFLOPS.get(device_kind)
@@ -423,6 +435,25 @@ def main() -> None:
         + (f", MFU {mfu:.2%})" if mfu else ")"))
     emit(partial=True)
 
+    # B=4096 companion entry: larger batches amortise the per-step
+    # optimiser I/O (Adam reads/writes ~50 MB of moments regardless of
+    # batch); the headline stays B=2048 for round-over-round
+    # comparability.
+    if remaining_budget() > 150:
+        try:
+            log("benchmarking VAE-NB at B=4096…")
+            bench_training(
+                config, data, N_CELLS, 4096, "vae_nb_b4096", configs,
+                batch_dtypes=_bf16_batch_dtypes(host_arrays, config),
+            )
+            log(f"VAE-NB B=4096: "
+                f"{configs['vae_nb_b4096']['cells_per_sec']:,.0f} cells/s")
+        except Exception as error:
+            configs["vae_nb_b4096"] = {"error": str(error)[:200]}
+        emit(partial=True)
+    else:
+        configs["vae_nb_b4096"] = {"skipped": "budget"}
+
     # -- config 3: ZINB + categorised counts --------------------------------
     if remaining_budget() > 120:
         try:
@@ -437,7 +468,8 @@ def main() -> None:
             )
             log("benchmarking VAE-ZINB+categorised…")
             bench_training(
-                config_zinb, data, N_CELLS, BATCH, "vae_zinb_cat", configs
+                config_zinb, data, N_CELLS, BATCH, "vae_zinb_cat", configs,
+                batch_dtypes=_bf16_batch_dtypes(host_arrays, config_zinb),
             )
             log(f"ZINB+cat: {configs['vae_zinb_cat']['cells_per_sec']:,.0f}"
                 " cells/s")
@@ -470,7 +502,8 @@ def main() -> None:
                     break
                 sub: dict[str, dict] = {}
                 bench_training(
-                    config_gm, data, N_CELLS, gm_batch, "x", sub
+                    config_gm, data, N_CELLS, gm_batch, "x", sub,
+                    batch_dtypes=_bf16_batch_dtypes(host_arrays, config_gm),
                 )
                 sweep[str(gm_batch)] = sub["x"]["cells_per_sec"]
                 if best is None or (

@@ -249,41 +249,74 @@ def main() -> None:
         flush=True,
     )
     values = synth_counts_csr(streaming_cells, n_genes)
-    print("streaming epoch…", file=sys.stderr, flush=True)
     train_step = step.make_train_step(loss, optimizer, donate=False)
-    # re-init: the device-leg epoch donated the original param buffers
-    params, state = vae.init(config, jax.random.PRNGKey(0))
-    train_state = create_train_state(params, state, optimizer)
-    run_epoch = training.streaming_epoch_runner(
-        train_step,
-        lambda epoch: BatchPipeline(
-            {"x": values, "t": values}, batch, shuffle=True, seed=epoch,
-            count_dtype=(np.int16, np.int32),
-        ),
-    )
-    # warmup (compile) on a short pipeline
-    warm = BatchPipeline({"x": values[:batch], "t": values[:batch]}, batch)
-    for b in warm.epoch():
-        train_state, m = train_step(
-            train_state, b, jax.random.PRNGKey(9), 1.0
-        )
-    float(m["lower_bound"])
 
-    t0 = time.perf_counter()
-    train_state, metrics = run_epoch(
-        train_state, 0, 1.0, jax.random.PRNGKey(10)
-    )
-    lb = float(metrics["lower_bound"])
-    stream_s = time.perf_counter() - t0
+    def stream_epoch(wire_format):
+        """One streamed epoch; returns (cells/s, lower bound, wire MB)."""
+        from scvae_tpu.data.pipeline import CSRWire
+
+        params, state = vae.init(config, jax.random.PRNGKey(0))
+        train_state = create_train_state(params, state, optimizer)
+        pipe = BatchPipeline(
+            {"x": values, "t": values}, batch, shuffle=True, seed=0,
+            count_dtype=(np.int16, np.int32), wire_format=wire_format,
+        )
+        # wire bytes of the first batch (all full batches are equal-size)
+        first = next(iter(pipe.epoch()))
+        x = first["x"]
+        if isinstance(x, CSRWire):
+            batch_bytes = sum(
+                np.asarray(a).nbytes for a in (x.data, x.cols, x.rows)
+            )
+        else:
+            batch_bytes = np.asarray(x).nbytes
+        # warmup/compile on one batch
+        train_state, m = train_step(
+            train_state, first, jax.random.PRNGKey(9), 1.0
+        )
+        float(m["lower_bound"])
+        run_epoch = training.streaming_epoch_runner(
+            train_step,
+            lambda epoch: BatchPipeline(
+                {"x": values, "t": values}, batch, shuffle=True,
+                seed=epoch, count_dtype=(np.int16, np.int32),
+                wire_format=wire_format,
+            ),
+        )
+        t0 = time.perf_counter()
+        train_state, metrics = run_epoch(
+            train_state, 0, 1.0, jax.random.PRNGKey(10)
+        )
+        stream_s = time.perf_counter() - t0
+        return (
+            streaming_cells / stream_s,
+            float(metrics["lower_bound"]),
+            batch_bytes * (streaming_cells / batch) / 2**20,
+            stream_s,
+        )
+
+    print("streaming epoch (dense int16 wire)…", file=sys.stderr,
+          flush=True)
+    dense_cps, dense_lb, dense_mb, dense_s = stream_epoch("dense")
+    print("streaming epoch (CSR wire)…", file=sys.stderr, flush=True)
+    csr_cps, csr_lb, csr_mb, csr_s = stream_epoch("csr")
     print(json.dumps({
         "metric": (
             f"cells/sec/chip, VAE-NB streaming, {streaming_cells:,} cells "
             "(host-link-bound on the tunnelled chip)"
         ),
-        "value": round(streaming_cells / stream_s, 1),
+        "value": round(csr_cps, 1),
         "unit": "cells/sec/chip",
-        "epoch_seconds": round(stream_s, 2),
-        "lower_bound": round(lb, 2),
+        "epoch_seconds": round(csr_s, 2),
+        "lower_bound": round(csr_lb, 2),
+        "wire_mb_per_epoch": round(csr_mb, 1),
+        "dense_wire": {
+            "cells_per_sec": round(dense_cps, 1),
+            "epoch_seconds": round(dense_s, 2),
+            "lower_bound": round(dense_lb, 2),
+            "wire_mb_per_epoch": round(dense_mb, 1),
+        },
+        "wire_reduction": round(dense_mb / max(csr_mb, 1e-9), 2),
     }))
 
 

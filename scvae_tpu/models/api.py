@@ -28,6 +28,127 @@ from scvae_tpu.models.utilities import (
 )
 
 
+def _append_lgamma_rowsum(data: dict, config, sharding=None) -> dict:
+    """Stage the per-row Σ_f lgamma(1+t) constants once per dataset.
+
+    The fused likelihood kernels spend ~half their forward VPU work on
+    the −lgamma(1+t) term, which is constant in the parameters and
+    additive per row — so it is precomputed here as an (N,) vector,
+    gathered per batch (``models.step.gather_batch``) and subtracted
+    outside the kernel (``vae.elbo_terms`` / ``gmvae._lgamma_row_const``).
+    Only staged when the fused fast path will actually run: categorised
+    (k_max>0) and constrained-Poisson likelihoods keep their in-kernel
+    lgamma (piecewise/softmax structure is not row-separable)."""
+    from scvae_tpu import ops
+    from scvae_tpu.ops.gather import FieldAlias, PackedRows, logical_slice
+    from scvae_tpu.ops.special import lgamma
+
+    name = config.reconstruction_distribution
+    if (
+        config.k_max
+        or name == "constrained poisson"
+        or config.fused_likelihood is False
+        or not ops.pallas_enabled()
+        or not ops.supports_fused_likelihood(name)
+    ):
+        return data
+    t = data.get("t")
+    if isinstance(t, FieldAlias):
+        t = data[t.target]
+    if t is None:
+        return data
+    packed = isinstance(t, PackedRows)
+    n = t.n_rows if packed else int(t.shape[0])
+
+    @jax.jit
+    def chunk_rowsum(rows):
+        return jnp.sum(lgamma(1.0 + rows.astype(jnp.float32)), axis=-1)
+
+    chunk = 8192
+    pieces = []
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        rows = logical_slice(t, start, stop) if packed else t[start:stop]
+        if stop - start < chunk and n > chunk:
+            # pad the tail so one compiled program serves every chunk
+            # (lgamma(1+0) = 0, so padded rows contribute exact zeros)
+            pad = jnp.zeros((chunk - (stop - start),) + rows.shape[1:],
+                            rows.dtype)
+            rows = jnp.concatenate([rows, pad], axis=0)
+            pieces.append(chunk_rowsum(rows)[: stop - start])
+        else:
+            pieces.append(chunk_rowsum(rows))
+    rowsum = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    from scvae_tpu.ops.gather import sharding_row_axis
+
+    row_axis = sharding_row_axis(sharding)
+    if row_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rowsum = jax.device_put(
+            rowsum, NamedSharding(sharding.mesh, PartitionSpec(row_axis))
+        )
+    out = dict(data)
+    out["t_lgamma_rowsum"] = rowsum
+    return out
+
+
+def _bf16_batch_dtypes(arrays: dict, config) -> dict | None:
+    """Gather-output dtype overrides for mixed-precision training.
+
+    When the trunk computes in bf16, the (B, F) count fields can come out
+    of the row gather as bf16 DIRECTLY — halving the gather's HBM write
+    and the kernels' target reads — provided that is value-exact:
+    integral data with max ≤ 256 (bf16 has an 8-bit mantissa, so all
+    integers up to 256 are representable).  The likelihood math itself
+    still runs f32 (jnp promotes bf16 × f32), so results are identical
+    to the f32-gather path.  Returns None when inapplicable (f32
+    training, non-integral data, counts > 256, or a likelihood whose
+    kernel contains t-ONLY subexpressions — the categorised piecewise
+    lgamma chains and the constrained-Poisson −lgamma(1+t) would compute
+    in bf16 instead of f32; the base likelihoods avoid this because the
+    −lgamma(1+t) constant is hoisted per dataset
+    (:func:`_append_lgamma_rowsum`) and every remaining term mixes t
+    with an f32 activation)."""
+    import scipy.sparse
+
+    from scvae_tpu import ops
+
+    name = config.reconstruction_distribution
+    if (
+        config.compute_dtype(training=True) is None
+        or config.k_max
+        or name == "constrained poisson"
+        or not ops.pallas_enabled()
+        or not ops.supports_fused_likelihood(name)
+        or config.fused_likelihood is False
+    ):
+        return None
+    from scvae_tpu.data.pipeline import narrowest_count_dtype
+
+    overrides: dict[str, Any] = {}
+    checked: dict[int, bool] = {}
+    for field in ("x", "t"):
+        arr = arrays.get(field)
+        if arr is None:
+            continue
+        key = id(arr)
+        if key not in checked:
+            integral = narrowest_count_dtype(
+                arr, (np.int16, np.int32)
+            ) is not None
+            if integral:
+                data = arr.data if scipy.sparse.issparse(arr) else arr
+                checked[key] = data.size == 0 or (
+                    float(np.max(data)) <= 256 and float(np.min(data)) >= 0
+                )
+            else:
+                checked[key] = False
+        if checked[key]:
+            overrides[field] = jnp.bfloat16
+    return overrides or None
+
+
 def _packed_stratification(data: dict) -> tuple[int, int | None]:
     """(shards, padded_rows) when the device data dict holds mesh-sharded
     ``PackedRows`` — the training/eval index batches must then be
@@ -672,22 +793,27 @@ class VariationalAutoencoder:
             data_sharding = (
                 parallel.batch_sharding(mesh) if mesh is not None else None
             )
+            train_arrays = self._model_arrays(training_set)
             train_epoch = step.make_train_epoch(
                 loss_fn, optimizer, batch_constraint=batch_constraint,
                 # deferred mode keeps a one-epoch-old reference to the
                 # train state for delayed processing, so the input buffers
                 # must not be donated
                 donate=metrics_fetch != "deferred",
+                batch_dtypes=_bf16_batch_dtypes(train_arrays, self.config),
             )
             eval_epoch = step.make_eval_epoch(
                 self._eval_fn(n_iw, n_mc), batch_constraint=batch_constraint
             )
             n_train = training_set.number_of_examples
             train_data = device_resident_data(
-                self._model_arrays(training_set),
+                train_arrays,
                 count_dtype=self.DEVICE_COUNT_DTYPES,
                 sharding=data_sharding,
                 pad_rows_to_multiple_of=data_shards,
+            )
+            train_data = _append_lgamma_rowsum(
+                train_data, self.config, sharding=data_sharding
             )
             strat_shards, n_train_padded = _packed_stratification(train_data)
             run_epoch = training.device_epoch_runner(

@@ -486,6 +486,19 @@ def forward(
 # --------------------------------------------------------------------------
 
 
+def _lgamma_row_const(batch: Batch, t: jax.Array) -> jax.Array:
+    """Per-row Σ_f lgamma(1+t) — gathered from the per-dataset
+    precomputed sums when the pipeline staged them
+    (``models/api._append_lgamma_rowsum``), else computed here once per
+    step (still K·S× cheaper than inside the kernel)."""
+    row_const = batch.get("t_lgamma_rowsum")
+    if row_const is not None:
+        return row_const
+    from scvae_tpu.ops.special import lgamma
+
+    return jnp.sum(lgamma(1.0 + t), axis=-1)
+
+
 def elbo_terms(
     config: GMVAEConfig,
     params: Params,
@@ -569,8 +582,9 @@ def elbo_terms(
             else None
         )
         use_pallas = ops.pallas_enabled()
-        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
-        use_sharded = use_pallas and mesh is not None and b % n_data == 0
+        mesh_ok = mesh is not None and "data" in mesh.axis_names
+        n_data = mesh.shape["data"] if mesh_ok else 1
+        use_sharded = use_pallas and mesh_ok and b % n_data == 0
         if config.k_max:
             if use_sharded:
                 log_p_x = ops.sharded_fused_categorised_log_likelihood(
@@ -603,8 +617,6 @@ def elbo_terms(
             if count_sum is None:
                 # Shared-t fast path under the mesh: same lgamma-const
                 # hoisting as below, with the sharded kernel wrapper.
-                from scvae_tpu.ops.special import lgamma as _lgamma
-
                 log_p_x = ops.sharded_fused_log_likelihood(
                     config.reconstruction_distribution,
                     dec_h,
@@ -614,7 +626,7 @@ def elbo_terms(
                     compute_dtype=config.compute_dtype(training),
                     include_lgamma_const=False,
                 )  # (K, S, B)
-                log_p_x = log_p_x - jnp.sum(_lgamma(1.0 + t), axis=-1)
+                log_p_x = log_p_x - _lgamma_row_const(batch, t)
             else:
                 log_p_x = ops.sharded_fused_log_likelihood(
                     config.reconstruction_distribution,
@@ -633,9 +645,8 @@ def elbo_terms(
                 # map cycles over it for the K·S groups instead of
                 # broadcasting a (K, S, B, F) target — and the
                 # −lgamma(1+t) constant (no gradient) is computed ONCE
-                # here rather than K·S times inside the kernel.
-                from scvae_tpu.ops.special import lgamma as _lgamma
-
+                # here (or gathered from the per-dataset row sums) rather
+                # than K·S times inside the kernel.
                 log_p_x = ops.fused_log_likelihood(
                     config.reconstruction_distribution,
                     dec_h,
@@ -644,7 +655,7 @@ def elbo_terms(
                     compute_dtype=config.compute_dtype(training),
                     include_lgamma_const=False,
                 )  # (K, S, B)
-                log_p_x = log_p_x - jnp.sum(_lgamma(1.0 + t), axis=-1)
+                log_p_x = log_p_x - _lgamma_row_const(batch, t)
             else:
                 fused = (
                     ops.fused_log_likelihood

@@ -48,7 +48,7 @@ def create_train_state(
     )
 
 
-def gather_batch(data, idx):
+def gather_batch(data, idx, dtype_overrides=None):
     """Gather one batch of rows from device-resident data.
 
     Fields stored as :class:`~scvae_tpu.ops.gather.PackedRows` use the
@@ -57,6 +57,12 @@ def gather_batch(data, idx):
     ``jnp.take``.  :class:`~scvae_tpu.ops.gather.FieldAlias` entries (x
     and t are usually the same matrix) share one gather — the kernel is
     a custom call XLA cannot CSE, so the dedup is structural.
+
+    ``dtype_overrides`` maps field name → output dtype for PackedRows
+    fields (default f32).  The gather kernel emits every requested dtype
+    in ONE HBM pass, so e.g. the encoder input ``x`` can come out bf16
+    for a mixed-precision trunk while the likelihood target ``t`` stays
+    exact f32 — removing a full (B, F) cast round trip per step.
     """
     from scvae_tpu.ops.gather import (
         FieldAlias,
@@ -65,27 +71,45 @@ def gather_batch(data, idx):
         supports_sharded_gather_batch,
     )
 
+    overrides = dtype_overrides or {}
+    # fields sharing a source (x ≡ t) resolve through the alias target,
+    # so collect each target's full set of requested output dtypes first
+    wanted: dict[str, list] = {}
+    for k, v in data.items():
+        target = v.target if isinstance(v, FieldAlias) else k
+        dtype = jnp.dtype(overrides.get(k, jnp.float32))
+        wanted.setdefault(target, [])
+        if dtype not in wanted[target]:
+            wanted[target].append(dtype)
+
+    gathered: dict[str, dict] = {}
     batch = {}
     for k, v in data.items():
         if isinstance(v, FieldAlias):
             continue  # resolved below, after the target is gathered
         if isinstance(v, PackedRows):
+            dtypes = tuple(wanted[k])
             if supports_sharded_gather_batch(v, idx.shape[0]):
-                batch[k] = gather_rows(v, idx, (jnp.float32,))[0]
+                outs = gather_rows(v, idx, dtypes)
             else:
                 rows = jnp.take(
                     v.data.reshape(v.n_rows, v.align, -1), idx, axis=0
-                )
-                batch[k] = rows.reshape(idx.shape[0], v.n_cols).astype(
-                    jnp.float32
-                )
+                ).reshape(idx.shape[0], v.n_cols)
+                outs = [rows.astype(d) for d in dtypes]
+            gathered[k] = dict(zip(dtypes, outs))
+            batch[k] = gathered[k][jnp.dtype(overrides.get(k, jnp.float32))]
         else:
             batch[k] = jnp.take(v, idx, axis=0)
     for k, v in data.items():
         # aliased fields share the gathered array — the gather kernel is
         # a custom call XLA cannot CSE, so it must run once per source
         if isinstance(v, FieldAlias):
-            batch[k] = batch[v.target]
+            if v.target in gathered:
+                batch[k] = gathered[v.target][
+                    jnp.dtype(overrides.get(k, jnp.float32))
+                ]
+            else:
+                batch[k] = batch[v.target]
     return batch
 
 
@@ -175,6 +199,7 @@ def make_train_epoch(
     jit: bool = True,
     batch_constraint: Any = None,
     donate: bool = True,
+    batch_dtypes: dict | None = None,
 ):
     """Whole-epoch training as one ``lax.scan`` over device-resident data.
 
@@ -195,7 +220,9 @@ def make_train_epoch(
         def body(carry, idx):
             ts, rng = carry
             rng, sub = jax.random.split(rng)
-            batch = cast_batch_to_f32(gather_batch(data, idx))
+            batch = cast_batch_to_f32(
+                gather_batch(data, idx, dtype_overrides=batch_dtypes)
+            )
             if batch_constraint is not None:
                 # Re-shard the gathered batch rows over the data axis so
                 # the step computes data-parallel (the gather itself may

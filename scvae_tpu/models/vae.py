@@ -65,10 +65,9 @@ class VAEConfig:
     # False = force the plain XLA path, None = auto (on for TPU when the
     # distribution has a fused kernel, off elsewhere).  The kernel avoids
     # materialising the (B, F) per-parameter head activations in HBM and
-    # runs its head matmuls in bf16 (f32 accumulation).  Round-3 measured
-    # step at the flagship shape (B=2048, H=256x256, F=2048, NB, packed
-    # gather): 0.625 ms slope-timed = 3.28M cells/s, 17.8% MFU — see
-    # STATUS.md §Performance for the full decomposition.
+    # runs its head matmuls in bf16 (f32 accumulation).  Official
+    # driver-captured numbers live in BENCH_rNN.json; the step
+    # decomposition is in STATUS.md §Performance.
     fused_likelihood: bool | None = None
     # Mixed-precision matmuls for TRAINING: inputs cast to bfloat16, f32
     # accumulation on the MXU, f32 master weights/optimizer state;
@@ -510,8 +509,9 @@ def elbo_terms(
         from scvae_tpu import ops
 
         use_pallas = ops.pallas_enabled()
-        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
-        use_sharded = use_pallas and mesh is not None and b % n_data == 0
+        mesh_ok = mesh is not None and "data" in mesh.axis_names
+        n_data = mesh.shape["data"] if mesh_ok else 1
+        use_sharded = use_pallas and mesh_ok and b % n_data == 0
         if config.k_max:
             if use_sharded:
                 rows = ops.sharded_fused_categorised_log_likelihood(
@@ -545,6 +545,17 @@ def elbo_terms(
                 if config.use_count_sum_as_parameter
                 else None
             )
+            # The −lgamma(1+t) term is constant in the parameters and
+            # per-ROW additive, so when the data pipeline staged its row
+            # sums once per dataset (models/api._append_lgamma_rowsum)
+            # the kernels skip the in-kernel lgamma chain — about half
+            # the forward kernel's VPU work at the flagship shape.
+            row_const = (
+                batch.get("t_lgamma_rowsum")
+                if config.reconstruction_distribution
+                != "constrained poisson"
+                else None
+            )
             if use_sharded:
                 rows = ops.sharded_fused_log_likelihood(
                     config.reconstruction_distribution,
@@ -554,21 +565,38 @@ def elbo_terms(
                     mesh=mesh,
                     count_sum=count_sum,
                     compute_dtype=config.compute_dtype(training),
+                    include_lgamma_const=row_const is None,
                 )
+                if row_const is not None:
+                    rows = rows - row_const
             else:
+                use_kernel = use_pallas and mesh is None
                 fused = (
                     ops.fused_log_likelihood
-                    if use_pallas and mesh is None
+                    if use_kernel
                     else ops.reference_log_likelihood
                 )
-                rows = fused(
-                    config.reconstruction_distribution,
-                    outputs.decoder_hidden,
-                    params["reconstruction"],
-                    t,
-                    count_sum=count_sum,
-                    compute_dtype=config.compute_dtype(training),
-                )
+                if use_kernel:
+                    rows = fused(
+                        config.reconstruction_distribution,
+                        outputs.decoder_hidden,
+                        params["reconstruction"],
+                        t,
+                        count_sum=count_sum,
+                        compute_dtype=config.compute_dtype(training),
+                        include_lgamma_const=row_const is None,
+                    )
+                    if row_const is not None:
+                        rows = rows - row_const
+                else:
+                    rows = fused(
+                        config.reconstruction_distribution,
+                        outputs.decoder_hidden,
+                        params["reconstruction"],
+                        t,
+                        count_sum=count_sum,
+                        compute_dtype=config.compute_dtype(training),
+                    )
         log_p_x_given_z = jnp.reshape(rows, (n_iw, n_mc, b))
     else:
         # log p(x|z): (S, B, F) → sum features → (R, L, B)

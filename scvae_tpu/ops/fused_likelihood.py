@@ -437,7 +437,15 @@ def _make_forward_kernel(n_heads, ll_fn, subtract_lgamma_const=True,
     return kernel
 
 
-def _make_backward_kernel(n_heads, grads_fn, compute_dtype=None):
+def _make_backward_kernel(n_heads, grads_fn, compute_dtype=None,
+                          nj=1, dh_scratch=False):
+    """``nj`` = number of feature tiles (static); with ``dh_scratch`` the
+    per-row-tile dh partial sums accumulate in a VMEM scratch across the
+    outer feature loop instead of read-modify-writing the HBM out block
+    on every revisit (the dh block index changes every inner step, so
+    Pallas would otherwise round-trip it (nj−1) extra times — ~12 MB/step
+    at the flagship shape)."""
+
     def kernel(*refs):
         g_ref = refs[0]
         h_ref = refs[1]
@@ -445,6 +453,9 @@ def _make_backward_kernel(n_heads, grads_fn, compute_dtype=None):
         b_refs = refs[3:3 + 2 * n_heads:2]
         t_ref = refs[2 + 2 * n_heads]
         out = refs[3 + 2 * n_heads:]
+        if dh_scratch:
+            dh_s_ref = out[-1]
+            out = out[:-1]
         dh_ref = out[0]
         dw_refs = out[1:1 + 2 * n_heads:2]
         db_refs = out[2:2 + 2 * n_heads:2]
@@ -484,13 +495,29 @@ def _make_backward_kernel(n_heads, grads_fn, compute_dtype=None):
                 preferred_element_type=jnp.float32,
             )
 
-        @pl.when(j == 0)
-        def _init_dh():
-            dh_ref[:] = dh
+        if dh_scratch and nj > 1:
+            tm = dh_ref.shape[0]
+            slot = pl.ds(i * tm, tm)
 
-        @pl.when(j > 0)
-        def _acc_dh():
-            dh_ref[:] += dh
+            @pl.when(j == 0)
+            def _init_dh():
+                dh_s_ref[slot, :] = dh
+
+            @pl.when(jnp.logical_and(j > 0, j < nj - 1))
+            def _acc_dh():
+                dh_s_ref[slot, :] += dh
+
+            @pl.when(j == nj - 1)
+            def _flush_dh():
+                dh_ref[:] = dh_s_ref[slot, :] + dh
+        else:
+            @pl.when(j == 0)
+            def _init_dh():
+                dh_ref[:] = dh
+
+            @pl.when(j > 0)
+            def _acc_dh():
+                dh_ref[:] += dh
 
         for g_a, g_ac, dw_ref, db_ref in zip(gs, gsc, dw_refs, db_refs):
             dw = jnp.dot(hc.T, g_ac, preferred_element_type=jnp.float32)
@@ -529,8 +556,13 @@ def _tile_sizes(n_heads: int, hidden: int) -> tuple[int, int]:
     Resident per program: n_heads weight tiles (hidden, TF) double-
     buffered, n_heads activation tiles (TM, TF), h/t tiles.  The defaults
     suit ≤4 heads; categorised likelihoods bring K+1 extra heads, so
-    shrink TF (and then TM) until the estimate fits ~10 MB."""
-    tm, tf = _TM, _TF
+    shrink TF (and then TM) until the estimate fits ~10 MB.  The
+    ``SCVAE_FUSED_TM``/``SCVAE_FUSED_TF`` env vars override the starting
+    sizes (tile-retune experiments)."""
+    import os
+
+    tm = int(os.environ.get("SCVAE_FUSED_TM", _TM))
+    tf = int(os.environ.get("SCVAE_FUSED_TF", _TF))
     while tf > 128:
         est = (
             n_heads * hidden * tf * 4 * 2      # weight tiles (dbuf)
@@ -675,12 +707,22 @@ def _fused_backward(grads_fn, h, weights, biases, t, g,
         )
         out_shape.append(jax.ShapeDtypeStruct((1, f_padded), jnp.float32))
 
+    nj = f_padded // tf
+    # VMEM scratch for the dh accumulation when it fits (the GMVAE's
+    # K·S·B rows can exceed the budget — those keep the revisit pattern)
+    use_dh_scratch = nj > 1 and m_padded * hidden * 4 <= 4 * 2**20
     outputs = pl.pallas_call(
-        _make_backward_kernel(n_heads, grads_fn, compute_dtype),
-        grid=(f_padded // tf, m_padded // tm),
+        _make_backward_kernel(n_heads, grads_fn, compute_dtype,
+                              nj=nj, dh_scratch=use_dh_scratch),
+        grid=(nj, m_padded // tm),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((m_padded, hidden), jnp.float32)]
+            if use_dh_scratch
+            else []
+        ),
     )(*operands)
     dh = outputs[0][:m]
     dws = [outputs[1 + 2 * k][:, :f] for k in range(n_heads)]

@@ -230,3 +230,113 @@ class TestPackedEpochEndToEnd:
         lb_unpacked = run(False)
         lb_packed = run(True)
         np.testing.assert_allclose(lb_packed, lb_unpacked, rtol=1e-6)
+
+
+class TestGatherDtypePolicyAndLgammaHoist:
+    """Round-4 perf-path numerics: (a) bf16 gather outputs for the
+    encoder input / likelihood target are value-exact for counts ≤ 256,
+    so training must match the f32-gather path EXACTLY (on the CPU f32
+    trunk); (b) the per-dataset lgamma row-sum hoist
+    (api._append_lgamma_rowsum) must not change the objective."""
+
+    def _setup(self):
+        import scipy.sparse
+
+        from scvae_tpu.models import vae
+        from scvae_tpu.models.step import make_optimizer
+
+        rng = np.random.RandomState(7)
+        counts = scipy.sparse.random(
+            256, 1024, density=0.1, format="csr", random_state=rng,
+            data_rvs=lambda k: rng.poisson(3.0, k) + 1.0,
+        )
+        counts.data = counts.data.astype(np.float32)
+        config = vae.VAEConfig(
+            feature_size=1024, latent_size=4, hidden_sizes=(16,),
+            reconstruction_distribution="negative binomial",
+            minibatch_normalisation=True, fused_likelihood=True,
+        )
+        optimizer = make_optimizer(1e-3)
+
+        def loss(p, s, b, r, w):
+            return vae.loss_fn(config, p, s, b, r, warm_up_weight=w)
+
+        return counts, config, optimizer, loss
+
+    def _run(self, counts, config, optimizer, loss, *, batch_dtypes,
+             hoist):
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        from scvae_tpu import ops
+        from scvae_tpu.data.pipeline import device_resident_data
+        from scvae_tpu.models import vae
+        from scvae_tpu.models.api import _append_lgamma_rowsum
+        from scvae_tpu.models.step import (
+            create_train_state,
+            epoch_permutation,
+            make_train_epoch,
+        )
+
+        with ops.force_pallas(), pltpu.force_tpu_interpret_mode():
+            data = device_resident_data(
+                {"x": counts, "t": counts}, count_dtype=np.int16
+            )
+            if hoist:
+                data = _append_lgamma_rowsum(data, config)
+                assert "t_lgamma_rowsum" in data
+            params, state = vae.init(config, jax.random.PRNGKey(0))
+            ts = create_train_state(params, state, optimizer)
+            train_epoch = make_train_epoch(
+                loss, optimizer, donate=False, batch_dtypes=batch_dtypes
+            )
+            perm = jnp.asarray(
+                epoch_permutation(256, 64, np.random.RandomState(1))
+            )
+            _, metrics = train_epoch(
+                ts, data, perm, jax.random.PRNGKey(3), 1.0
+            )
+            return float(metrics["lower_bound"])
+
+    def test_bf16_gather_and_hoist_match_f32(self):
+        import jax.numpy as jnp
+
+        counts, config, optimizer, loss = self._setup()
+        base = self._run(
+            counts, config, optimizer, loss, batch_dtypes=None, hoist=False
+        )
+        hoisted = self._run(
+            counts, config, optimizer, loss, batch_dtypes=None, hoist=True
+        )
+        bf16 = self._run(
+            counts, config, optimizer, loss,
+            batch_dtypes={"x": jnp.bfloat16, "t": jnp.bfloat16}, hoist=True,
+        )
+        np.testing.assert_allclose(hoisted, base, rtol=1e-6)
+        np.testing.assert_allclose(bf16, base, rtol=1e-6)
+
+    def test_policy_gates(self):
+        import dataclasses
+
+        from scvae_tpu import ops
+        from scvae_tpu.models import vae
+        from scvae_tpu.models.api import _bf16_batch_dtypes
+
+        counts, config, _, _ = self._setup()
+        arrays = {"x": counts, "t": counts}
+        # f32 training (CPU default) → no overrides
+        assert _bf16_batch_dtypes(arrays, config) is None
+        bf16_config = dataclasses.replace(config, precision="bfloat16")
+        with ops.force_pallas():
+            out = _bf16_batch_dtypes(arrays, bf16_config)
+            assert out is not None and set(out) == {"x", "t"}
+            # categorised keeps in-kernel t-only lgamma chains → gated
+            cat = dataclasses.replace(
+                bf16_config, number_of_reconstruction_classes=10
+            )
+            assert _bf16_batch_dtypes(arrays, cat) is None
+            # counts above 256 are not bf16-exact → gated
+            big = counts.copy()
+            big.data = big.data + 300.0
+            assert _bf16_batch_dtypes({"x": big, "t": big},
+                                      bf16_config) is None
