@@ -557,19 +557,23 @@ class VariationalAutoencoder:
                     ]
                     if len(pieces) == 1:
                         return pieces[0]
-                    return np.concatenate(
-                        [np.asarray(p) for p in pieces], axis=0
-                    )
+                    # jnp (not np): slicing/concat on mesh-sharded global
+                    # arrays must stay SPMD computations — host fetches
+                    # would touch non-addressable shards on a multi-host
+                    # mesh
+                    return jnp.concatenate(pieces, axis=0)
 
                 batch = step.cast_batch_to_f32(
                     {k: tail_rows(v) for k, v in data.items()}
                 )
                 if mesh is not None:
-                    from scvae_tpu.parallel import replicate_to_mesh
+                    from scvae_tpu.parallel import replicated
 
-                    batch = replicate_to_mesh(
-                        {k: np.asarray(v) for k, v in batch.items()}, mesh
-                    )
+                    sharding = replicated(mesh)
+                    batch = {
+                        k: jax.device_put(jnp.asarray(v), sharding)
+                        for k, v in batch.items()
+                    }
                 rng, sub = jax.random.split(rng)
                 m2 = eval_step(
                     train_state.params, train_state.model_state, batch, sub

@@ -474,7 +474,10 @@ def elbo_terms(
     ``mesh``: when set, the fused Pallas likelihood routes through the
     ``shard_map`` wrappers of :mod:`scvae_tpu.ops.sharded` (GSPMD cannot
     partition the Pallas custom calls, so without this the fast path
-    would not compose with data/tensor parallelism).
+    would not compose with data/tensor parallelism).  The fused path is
+    training-only: a round-4 measurement found fused evaluation neutral
+    (XLA streams the unfused IW eval well), so evaluation keeps the
+    plain XLA path and the full ``p_x`` outputs.
 
     Returns metrics:
       * ``lower_bound`` — IW bound: mean over (L, B) of log-mean-exp over R

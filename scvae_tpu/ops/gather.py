@@ -137,7 +137,19 @@ def pack_rows(values: np.ndarray, sharding=None) -> PackedRows:
         raise ValueError(
             f"{n} rows cannot be row-sharded {n_shards} ways (pad first)"
         )
-    placed = jax.device_put(packed, sharding)
+    if jax.process_count() > 1:
+        # Multi-host: every process holds (or can build) the full host
+        # matrix but transfers only ITS contiguous row block; the global
+        # array is assembled from the per-process pieces (same pattern
+        # as the unpacked multi-host staging).  Whole logical rows stay
+        # on one device because n divides the shard count, which the
+        # trailing-process mesh spreads evenly over processes.
+        p, n_proc = jax.process_index(), jax.process_count()
+        rows_per_process = (n // n_proc) * a
+        local = packed[p * rows_per_process:(p + 1) * rows_per_process]
+        placed = jax.make_array_from_process_local_data(sharding, local)
+    else:
+        placed = jax.device_put(packed, sharding)
     return PackedRows(
         data=placed, n_rows=n, n_cols=f, mesh=mesh, data_axis=axis
     )

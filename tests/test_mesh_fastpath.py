@@ -370,7 +370,9 @@ class TestTrainAPIMeshFastPaths:
 
         n, f = 64, 1024
         train_set = self._dataset(n, f)
-        valid_set = self._dataset(32, f)
+        # 38 validation rows: not a multiple of the batch, so the
+        # stratified evaluator's per-shard leftover (remainder) path runs
+        valid_set = self._dataset(38, f)
         kwargs = dict(
             number_of_epochs=2, minibatch_size=32, seed=0, verbose=False,
             mesh=mesh4,

@@ -73,6 +73,37 @@ result = model.train(
 if process_id == 0:
     with open(out_path, "w") as f:
         json.dump(result.history, f)
+
+# Round 4: multi-host PACKED staging (the real-pod fast path) — each
+# process transfers only its row block of the DMA-aligned packed layout
+# and the global array assembles with whole logical rows per device.
+# Placement only: the gather kernel itself cannot run under the CPU
+# interpreter across processes (its global barrier spans all manual
+# devices, which live in different processes here); on a real pod it
+# runs natively.
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
+
+from scvae_tpu import ops
+from scvae_tpu.ops.gather import PackedRows, pack_rows
+
+mesh2 = create_mesh()
+vals = np.arange(64 * 1024, dtype=np.float32).reshape(64, 1024)
+with ops.force_pallas():
+    packed = pack_rows(
+        vals, sharding=NamedSharding(mesh2, PartitionSpec("data"))
+    )
+assert isinstance(packed, PackedRows) and packed.mesh is mesh2
+align = packed.align
+expected = vals.reshape(64 * align, 1024 // align)
+for shard in packed.data.addressable_shards:
+    start = shard.index[0].start or 0
+    rows = np.asarray(shard.data)
+    np.testing.assert_array_equal(
+        rows, expected[start:start + rows.shape[0]]
+    )
+    assert rows.shape[0] % align == 0  # whole logical rows per device
+print(f"worker {process_id} packed staging ok", flush=True)
 print(f"worker {process_id} done", flush=True)
 """
 
