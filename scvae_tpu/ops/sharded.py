@@ -58,6 +58,19 @@ def _resolve_ll(ll_key):
     return _BASE_LL[ll_key], _BASE_GRADS[ll_key]
 
 
+def _can_split_model(mesh, model_axis, f: int) -> bool:
+    """Gene-axis (model) split applies only when the feature count
+    divides the axis — otherwise the heads stay replicated inside the
+    shard_map (each model shard computes the full F redundantly, exactly
+    what GSPMD replication would do)."""
+    return (
+        model_axis is not None
+        and model_axis in mesh.axis_names
+        and mesh.shape[model_axis] > 1
+        and f % mesh.shape[model_axis] == 0
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _make_sharded_fused(
     mesh,
@@ -66,6 +79,7 @@ def _make_sharded_fused(
     ll_key,
     compute_dtype,
     subtract_lgamma_const: bool,
+    split_model: bool,
 ):
     """Build ``fused(h3, ws, bs, t) → (G, B)`` under ``mesh``.
 
@@ -75,11 +89,6 @@ def _make_sharded_fused(
     G groups via the kernels' cycling t index map."""
     ll_fn, grads_fn = _resolve_ll(ll_key)
     n_data = mesh.shape[data_axis]
-    split_model = (
-        model_axis is not None
-        and model_axis in mesh.axis_names
-        and mesh.shape[model_axis] > 1
-    )
     h_spec = P(None, data_axis, None)
     w_spec = P(None, model_axis) if split_model else P(None, None)
     b_spec = P(model_axis) if split_model else P(None)
@@ -256,6 +265,7 @@ def sharded_fused_log_likelihood(
         out = _make_sharded_fused(
             mesh, data_axis, model_axis, name, compute_dtype,
             include_lgamma_const,
+            _can_split_model(mesh, model_axis, f),
         )(h3, ws, bs, t)
     else:
         raise ValueError(f"No fused likelihood for {name!r}")
@@ -290,5 +300,6 @@ def sharded_fused_categorised_log_likelihood(
     out = _make_sharded_fused(
         mesh, data_axis, model_axis, ("categorised", name, k),
         compute_dtype, False,
+        _can_split_model(mesh, model_axis, f),
     )(h3, ws, bs, t)
     return out.reshape(lead_shape)
