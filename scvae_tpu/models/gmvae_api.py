@@ -421,7 +421,8 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
 
         arrays = self._model_arrays(evaluation_set)
         pipeline = BatchPipeline(
-            arrays, scaled_batch, shuffle=False, sharding=eval_sharding
+            arrays, scaled_batch, shuffle=False, sharding=eval_sharding,
+            count_dtype=self.DEVICE_COUNT_DTYPES,
         )
 
         n = evaluation_set.number_of_examples
