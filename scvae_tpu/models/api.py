@@ -1017,6 +1017,7 @@ class VariationalAutoencoder:
 
         @jax.jit
         def eval_batch(params, model_state, batch, rng):
+            batch = step.cast_batch_to_f32(step.materialize_batch(batch))
             return vae.evaluation_outputs(
                 config, params, model_state, batch, rng, n_iw=n_iw, n_mc=n_mc
             )

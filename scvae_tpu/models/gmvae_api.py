@@ -415,6 +415,7 @@ class GaussianMixtureVariationalAutoencoder(VariationalAutoencoder):
 
         @jax.jit
         def eval_batch(params, model_state, batch, rng):
+            batch = step.cast_batch_to_f32(step.materialize_batch(batch))
             return gmvae.evaluation_outputs(
                 config, params, model_state, batch, rng, n_iw=n_iw, n_mc=n_mc
             )

@@ -166,3 +166,68 @@ class TestCSRWireTraining:
             r_dense.history["validation"]["lower_bound"],
             rtol=1e-6,
         )
+
+
+class TestCSRWireEvaluate:
+    def test_evaluate_metrics_match_dense_wire(self, tmp_path):
+        """``evaluate()`` ships its input over the CSR wire too (round-4
+        fix: the evaluation pipelines now pass count_dtype); metrics must
+        match the dense-wire path exactly."""
+        from scvae_tpu.data import DataSet
+        from scvae_tpu.models import VariationalAutoencoder
+
+        counts = _sparse_counts(320, 64, density=0.1)
+
+        def dataset(kind, sl):
+            rows = counts[sl]
+            return DataSet(
+                "csr_eval", title="csr eval", specifications={},
+                values=rows,
+                example_names=np.array(
+                    [f"cell {i}" for i in range(rows.shape[0])]
+                ),
+                feature_names=np.array([f"gene {j}" for j in range(64)]),
+                kind=kind, version="original",
+            )
+
+        model = VariationalAutoencoder(
+            feature_size=64, latent_size=4, hidden_sizes=[16],
+            reconstruction_distribution="negative binomial",
+            minibatch_normalisation=True,
+            log_directory=str(tmp_path / "m"),
+        )
+        model.train(
+            dataset("training", slice(0, 256)),
+            dataset("validation", slice(256, 320)),
+            number_of_epochs=2, minibatch_size=64, seed=0, verbose=False,
+        )
+
+        def evaluate(wire_format):
+            import scvae_tpu.data.pipeline as pipeline_module
+            import scvae_tpu.models.api as api_module
+
+            original = pipeline_module.BatchPipeline
+
+            class Forced(original):
+                def __init__(self, *args, **kwargs):
+                    kwargs["wire_format"] = wire_format
+                    super().__init__(*args, **kwargs)
+
+            pipeline_module.BatchPipeline = Forced
+            api_module.BatchPipeline = Forced
+            try:
+                model.evaluate(
+                    dataset("test", slice(256, 320)), minibatch_size=64,
+                    output_versions="latent", verbose=False,
+                )
+                return dict(model._last_evaluation_metrics)
+            finally:
+                pipeline_module.BatchPipeline = original
+                api_module.BatchPipeline = original
+
+        m_csr = evaluate("csr")
+        m_dense = evaluate("dense")
+        for key in m_dense:
+            np.testing.assert_allclose(
+                m_csr[key], m_dense[key], rtol=1e-6, err_msg=key
+            )
