@@ -376,9 +376,13 @@ def train(
         model_parallelism=model_parallelism,
     )
     if analyses_directory:
+        # post-training model-level analyses (learning curves etc.); the
+        # train subcommand carries no --included-analyses flag (same
+        # flag surface as the reference, whose train does not analyse at
+        # all — cli.py:245-263), so the library default applies
         analyses.analyse_model(
             model, run_id=run_id or None,
-            included_analyses=included_analyses,
+            included_analyses=None,
             analyses_directory=analyses_directory,
         )
     return 0

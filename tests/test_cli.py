@@ -57,7 +57,9 @@ def test_cli_end_to_end(tmp_path):
     )
     assert status == 0
 
-    # train a small VAE
+    # train a small VAE — with the analyses directory, so the
+    # intermediate latent plots and the post-training analyse_model call
+    # run too (a round-4 regression: train -A raised a NameError)
     status = main(
         [
             "train", "development",
@@ -68,9 +70,14 @@ def test_cli_end_to_end(tmp_path):
             "-l", "2", "-H", "16",
             "-e", "2", "-B", "64",
             "-M", models_dir,
+            "-A", analyses_dir,
         ]
     )
     assert status == 0
+    curves = []
+    for root, _dirs, files in os.walk(analyses_dir):
+        curves += [f for f in files if f.startswith("learning_curves")]
+    assert curves, "train -A produced no model-level learning curves"
 
     # evaluate with k-means label prediction
     status = main(
