@@ -585,11 +585,18 @@ def elbo_terms(
         mesh_ok = mesh is not None and "data" in mesh.axis_names
         n_data = mesh.shape["data"] if mesh_ok else 1
         use_sharded = use_pallas and mesh_ok and b % n_data == 0
+        # bf16 hidden states straight into the kernels (identical math —
+        # they cast internally — at half the h HBM traffic); the jnp
+        # reference fallbacks keep the f32 hidden states
+        fused_dtype = config.compute_dtype(training)
+        dec_h_k = outputs.decoder_hidden  # (K, S, B, H)
+        if use_pallas and fused_dtype is not None:
+            dec_h_k = dec_h_k.astype(fused_dtype)
         if config.k_max:
             if use_sharded:
                 log_p_x = ops.sharded_fused_categorised_log_likelihood(
                     config.reconstruction_distribution,
-                    outputs.decoder_hidden,
+                    dec_h_k,
                     params["reconstruction"],
                     params["categorised_logits"]["kernel"],
                     params["categorised_logits"]["bias"],
@@ -613,7 +620,7 @@ def elbo_terms(
                     compute_dtype=config.compute_dtype(training),
                 )  # (K, S, B)
         elif use_sharded:
-            dec_h = outputs.decoder_hidden  # (K, S, B, H)
+            dec_h = dec_h_k
             if count_sum is None:
                 # Shared-t fast path under the mesh: same lgamma-const
                 # hoisting as below, with the sharded kernel wrapper.
@@ -639,7 +646,7 @@ def elbo_terms(
                 )  # (K, S, B)
         else:
             on_tpu = use_pallas and mesh is None
-            dec_h = outputs.decoder_hidden  # (K, S, B, H)
+            dec_h = dec_h_k if on_tpu else outputs.decoder_hidden
             if on_tpu and count_sum is None:
                 # Shared-t fast path: t stays (B, F) — the kernel's index
                 # map cycles over it for the K·S groups instead of

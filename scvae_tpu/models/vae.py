@@ -511,6 +511,15 @@ def elbo_terms(
         # shard_map (ops.sharded) — GSPMD cannot partition custom calls.
         from scvae_tpu import ops
 
+        # Hand the kernels bf16 hidden states directly when the compute
+        # dtype is bf16: the kernel casts internally anyway (identical
+        # math), but the HBM reads of h (forward + backward residual)
+        # halve, and autodiff casts dh back to f32 for the trunk.
+        fused_dtype = config.compute_dtype(training)
+        dec_h = outputs.decoder_hidden
+        if fused_dtype is not None:
+            dec_h = dec_h.astype(fused_dtype)
+
         use_pallas = ops.pallas_enabled()
         mesh_ok = mesh is not None and "data" in mesh.axis_names
         n_data = mesh.shape["data"] if mesh_ok else 1
@@ -519,7 +528,7 @@ def elbo_terms(
             if use_sharded:
                 rows = ops.sharded_fused_categorised_log_likelihood(
                     config.reconstruction_distribution,
-                    outputs.decoder_hidden,
+                    dec_h,
                     params["reconstruction"],
                     params["categorised_logits"]["kernel"],
                     params["categorised_logits"]["bias"],
@@ -535,7 +544,7 @@ def elbo_terms(
                 )
                 rows = fused(
                     config.reconstruction_distribution,
-                    outputs.decoder_hidden,
+                    dec_h,
                     params["reconstruction"],
                     params["categorised_logits"]["kernel"],
                     params["categorised_logits"]["bias"],
@@ -562,7 +571,7 @@ def elbo_terms(
             if use_sharded:
                 rows = ops.sharded_fused_log_likelihood(
                     config.reconstruction_distribution,
-                    outputs.decoder_hidden,
+                    dec_h,
                     params["reconstruction"],
                     t,
                     mesh=mesh,
@@ -582,7 +591,7 @@ def elbo_terms(
                 if use_kernel:
                     rows = fused(
                         config.reconstruction_distribution,
-                        outputs.decoder_hidden,
+                        dec_h,
                         params["reconstruction"],
                         t,
                         count_sum=count_sum,
