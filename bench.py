@@ -6,13 +6,17 @@ selected genes — the reference applies variance feature selection before
 training, ``docs/guide.rst:205-211``).  The same line carries, under
 ``configs``, the remaining BASELINE configs:
 
-* ``vae_nb``            — config 2: VAE, negative binomial (headline)
+* ``vae_nb``            — config 2: VAE, negative binomial (headline,
+                          B=2048 for round-over-round comparability)
+* ``vae_nb_large_batch``— same model at B∈{4096, 8192}: amortises the
+                          fixed per-step optimiser I/O (best reported)
 * ``vae_zinb_cat``      — config 3: VAE, ZINB + piecewise-categorical heads
 * ``gmvae_nb``          — config 4: GMVAE-NB (K=10) training throughput
-                          (batch sweep 512/2048, best reported)
+                          (batch sweep 512-4096, best reported)
 * ``gmvae_ari``         — config 4: GMVAE clustering ARI vs labels on the
-                          seeded ``development`` set (quality, not speed;
-                          training bounded to ``ARI_TRAIN_BUDGET_S``)
+                          seeded ``development`` set, CI-gate config
+                          (quality, not speed; bounded to
+                          ``ARI_TRAIN_BUDGET_S``)
 * ``iw_evaluation``     — config 5: IW-ELBO (R=8) evaluation throughput
 
 Timing methodology (round 3): the tunnelled TPU platform charges a
@@ -435,24 +439,40 @@ def main() -> None:
         + (f", MFU {mfu:.2%})" if mfu else ")"))
     emit(partial=True)
 
-    # B=4096 companion entry: larger batches amortise the per-step
+    # Large-batch companion entry: larger batches amortise the per-step
     # optimiser I/O (Adam reads/writes ~50 MB of moments regardless of
-    # batch); the headline stays B=2048 for round-over-round
-    # comparability.
-    if remaining_budget() > 150:
+    # batch) and the kernels' fixed costs; the headline stays B=2048 for
+    # round-over-round comparability.
+    if remaining_budget() > 220:
         try:
-            log("benchmarking VAE-NB at B=4096…")
-            bench_training(
-                config, data, N_CELLS, 4096, "vae_nb_b4096", configs,
-                batch_dtypes=_bf16_batch_dtypes(host_arrays, config),
-            )
-            log(f"VAE-NB B=4096: "
-                f"{configs['vae_nb_b4096']['cells_per_sec']:,.0f} cells/s")
+            best_lb = None
+            lb_sweep = {}
+            for lb_batch in (4096, 8192):
+                if best_lb is not None and remaining_budget() < 150:
+                    break
+                log(f"benchmarking VAE-NB at B={lb_batch}…")
+                sub: dict[str, dict] = {}
+                bench_training(
+                    config, data, N_CELLS, lb_batch, "x", sub,
+                    batch_dtypes=_bf16_batch_dtypes(host_arrays, config),
+                )
+                lb_sweep[str(lb_batch)] = sub["x"]["cells_per_sec"]
+                if best_lb is None or (
+                    sub["x"]["cells_per_sec"] > best_lb["cells_per_sec"]
+                ):
+                    best_lb = sub["x"]
+                configs["vae_nb_large_batch"] = dict(
+                    best_lb, batch_sweep=dict(lb_sweep)
+                )
+                emit(partial=True)
+            log(f"VAE-NB large batch: "
+                f"{best_lb['cells_per_sec']:,.0f} cells/s "
+                f"(B={best_lb['batch']}; sweep {lb_sweep})")
         except Exception as error:
-            configs["vae_nb_b4096"] = {"error": str(error)[:200]}
+            configs["vae_nb_large_batch"] = {"error": str(error)[:200]}
         emit(partial=True)
     else:
-        configs["vae_nb_b4096"] = {"skipped": "budget"}
+        configs["vae_nb_large_batch"] = {"skipped": "budget"}
 
     # -- config 3: ZINB + categorised counts --------------------------------
     if remaining_budget() > 120:
