@@ -511,19 +511,19 @@ def elbo_terms(
         # shard_map (ops.sharded) — GSPMD cannot partition custom calls.
         from scvae_tpu import ops
 
-        # Hand the kernels bf16 hidden states directly when the compute
-        # dtype is bf16: the kernel casts internally anyway (identical
-        # math), but the HBM reads of h (forward + backward residual)
-        # halve, and autodiff casts dh back to f32 for the trunk.
-        fused_dtype = config.compute_dtype(training)
-        dec_h = outputs.decoder_hidden
-        if fused_dtype is not None:
-            dec_h = dec_h.astype(fused_dtype)
-
         use_pallas = ops.pallas_enabled()
         mesh_ok = mesh is not None and "data" in mesh.axis_names
         n_data = mesh.shape["data"] if mesh_ok else 1
         use_sharded = use_pallas and mesh_ok and b % n_data == 0
+        # Hand the kernels bf16 hidden states directly when the compute
+        # dtype is bf16: the kernel casts internally anyway (identical
+        # math), but the HBM reads of h (forward + backward residual)
+        # halve, and autodiff casts dh back to f32 for the trunk.  The
+        # jnp reference fallbacks keep the f32 hidden states.
+        fused_dtype = config.compute_dtype(training)
+        dec_h = outputs.decoder_hidden
+        if use_pallas and fused_dtype is not None:
+            dec_h = dec_h.astype(fused_dtype)
         if config.k_max:
             if use_sharded:
                 rows = ops.sharded_fused_categorised_log_likelihood(
