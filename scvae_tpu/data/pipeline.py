@@ -82,21 +82,36 @@ class CSRWire:
     path's bottleneck is the host link (reference pain point: 47 GB to
     analyse 10x-MBC, ``docs/guide.rst:61``).  Registered as a pytree so
     it flows into the jitted step, which densifies on device
-    (``models.step.materialize_batch``)."""
+    (``models.step.materialize_batch``).
 
-    def __init__(self, data, cols, rows, n_rows: int, n_cols: int):
+    Mesh composition (round 5, VERDICT r04 item 6): with ``mesh``/
+    ``data_axis`` set, the wire arrays are (n_shards, capacity), sharded
+    over the data axis — shard d's slice holds the padded COO of ITS
+    contiguous row block of the batch, with LOCAL row ids (padding =
+    local rows) — and the device scatter runs per shard under
+    ``shard_map``, producing the same row-sharded (B, F) batch the dense
+    wire places.  Each host therefore ships ~5-7× fewer bytes over its
+    own PCIe link too."""
+
+    def __init__(self, data, cols, rows, n_rows: int, n_cols: int,
+                 mesh=None, data_axis=None):
         self.data = data
         self.cols = cols
         self.rows = rows
         self.n_rows = int(n_rows)
         self.n_cols = int(n_cols)
+        self.mesh = mesh
+        self.data_axis = data_axis
 
     @property
     def shape(self):
         return (self.n_rows, self.n_cols)
 
     def tree_flatten(self):
-        return (self.data, self.cols, self.rows), (self.n_rows, self.n_cols)
+        return (
+            (self.data, self.cols, self.rows),
+            (self.n_rows, self.n_cols, self.mesh, self.data_axis),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -122,9 +137,11 @@ class BatchPipeline:
 
     ``wire_format="csr"`` ships sparse integral count fields (``x``/``t``)
     as :class:`CSRWire` instead of dense — ``"auto"`` turns it on for CSR
-    inputs whose density makes the wire at least ~2× smaller.  Not
-    combined with a sharding (multi-chip streaming keeps the dense wire;
-    the device-resident path is the fast path under a mesh).
+    inputs whose density makes the wire at least ~2× smaller.  Under a
+    single-row-axis mesh (single process) the wire ships per-shard COO
+    blocks and densifies per shard in ``shard_map``; multi-process
+    streaming keeps the dense wire (per-process overflow fallback cannot
+    be reconciled without a collective — see STATUS).
     """
 
     def __init__(
@@ -204,8 +221,30 @@ class BatchPipeline:
             raise ValueError(
                 "wire_format must be auto, csr, or dense"
             )
+        from scvae_tpu.ops.gather import sharding_row_axis
+
+        self._row_axis = sharding_row_axis(sharding)
+        # Mesh composition: the wire shards over a single row axis — each
+        # shard ships its own padded COO block (local row ids) and the
+        # scatter densify runs per shard under shard_map.  Compound or
+        # replicated specs keep the dense wire.
+        wire_shards = 1
+        if sharding is not None:
+            # Multi-process keeps the dense wire: the capacity-overflow
+            # fallback is data-dependent PER PROCESS, and one process
+            # falling back while another ships the wire would need a
+            # host-side collective to reconcile (see STATUS for the
+            # measured dense-wire justification on pod hosts).
+            wire_shards = (
+                self._data_shards
+                if self._row_axis is not None
+                and batch_size % self._data_shards == 0
+                and jax.process_count() == 1
+                else 0
+            )
         self._csr_wire: dict[str, dict] = {}
-        if wire_format in ("auto", "csr") and sharding is None:
+        if wire_format in ("auto", "csr") and wire_shards:
+            wire_rows = batch_size // wire_shards  # rows per wire block
             for name in ("x", "t"):
                 arr = arrays.get(name)
                 if (
@@ -221,7 +260,7 @@ class BatchPipeline:
                 entry_bytes = (
                     np.dtype(self._wire_dtypes[name]).itemsize
                     + np.dtype(_narrow_int(arr.shape[1])).itemsize
-                    + np.dtype(_narrow_int(batch_size)).itemsize
+                    + np.dtype(_narrow_int(wire_rows)).itemsize
                 )
                 dense_bytes = np.dtype(self._wire_dtypes[name]).itemsize
                 if (
@@ -229,15 +268,15 @@ class BatchPipeline:
                     and density * entry_bytes > 0.5 * dense_bytes
                 ):
                     continue  # not sparse enough to pay off
-                mean = float(nnz_per_row.mean()) * batch_size
-                std = float(nnz_per_row.std()) * np.sqrt(batch_size)
+                mean = float(nnz_per_row.mean()) * wire_rows
+                std = float(nnz_per_row.std()) * np.sqrt(wire_rows)
                 capacity = int(
                     -(-(mean + 4.0 * std + 1) // 1024) * 1024
                 )
                 self._csr_wire[name] = {
                     "capacity": capacity,
                     "col_dtype": _narrow_int(arr.shape[1]),
-                    "row_dtype": _narrow_int(batch_size),
+                    "row_dtype": _narrow_int(wire_rows),
                 }
 
     def batches_per_epoch(self) -> int:
@@ -277,7 +316,9 @@ class BatchPipeline:
             )
             if key not in placed_by_key:
                 wire = None
-                if csr_spec is not None:
+                if csr_spec is not None and sharding is self.sharding:
+                    # (remainder batches run replicated-dense — the wire
+                    # is built only for full, normally-sharded batches)
                     wire = self._make_csr_wire(
                         arr, local_idx, wire_dtype, csr_spec
                     )
@@ -291,14 +332,14 @@ class BatchPipeline:
             batch[name] = placed_by_key[key]
         return batch
 
-    def _make_csr_wire(self, arr, idx, wire_dtype, spec):
-        """Padded-COO wire arrays for the batch rows ``idx`` (device-put),
-        or ``None`` when the batch's nnz overflows the static capacity
-        (dense fallback keeps the step correct at any sparsity)."""
+    @staticmethod
+    def _coo_block(arr, idx, wire_dtype, spec, capacity):
+        """Padded-COO arrays for one wire block (rows ``idx``), with
+        block-LOCAL row ids (padding = ``len(idx)``), or ``None`` when
+        the block's nnz overflows the static capacity."""
         starts = arr.indptr[idx]
         counts = arr.indptr[idx + 1] - starts
         total = int(counts.sum())
-        capacity = spec["capacity"]
         if total > capacity:
             return None
         # vectorised multi-range gather: element e of the wire belongs to
@@ -321,12 +362,57 @@ class BatchPipeline:
             [row_of.astype(spec["row_dtype"]),
              np.full(pad, len(idx), spec["row_dtype"])]
         )
+        return data, cols, rows
+
+    def _make_csr_wire(self, arr, idx, wire_dtype, spec):
+        """Wire arrays for the batch rows ``idx`` (device-put), or
+        ``None`` when any block's nnz overflows the static capacity
+        (dense fallback keeps the step correct at any sparsity).
+
+        Unsharded: one flat (capacity,) block.  Mesh-sharded (single
+        process): one block PER DATA SHARD, stacked (n_shards, capacity)
+        and placed over the row axis — each shard scatters its own block
+        under shard_map (``models.step.materialize_batch``).  Multi-
+        process keeps the dense wire: the overflow fallback is data-
+        dependent per process and cannot be coordinated without a
+        collective (measured decision — see STATUS)."""
+        capacity = spec["capacity"]
+        if self.sharding is None:
+            coo = self._coo_block(arr, idx, wire_dtype, spec, capacity)
+            if coo is None:
+                return None
+            return CSRWire(
+                data=jax.device_put(coo[0]),
+                cols=jax.device_put(coo[1]),
+                rows=jax.device_put(coo[2]),
+                n_rows=len(idx),
+                n_cols=arr.shape[1],
+            )
+        wire_rows = self.batch_size // self._data_shards
+        if len(idx) != self._data_shards * wire_rows:
+            # remainder batches (fewer blocks than mesh shards) can't
+            # place one block per shard — dense fallback
+            return None
+        blocks = np.asarray(idx).reshape(-1, wire_rows)
+        parts = [
+            self._coo_block(arr, block, wire_dtype, spec, capacity)
+            for block in blocks
+        ]
+        if any(p is None for p in parts):
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        wire_sharding = NamedSharding(
+            self.sharding.mesh, PartitionSpec(self._row_axis)
+        )
+        data, cols, rows = (
+            _put_global(np.stack([p[i] for p in parts]), wire_sharding)
+            for i in range(3)
+        )
         return CSRWire(
-            data=jax.device_put(data),
-            cols=jax.device_put(cols),
-            rows=jax.device_put(rows),
-            n_rows=len(idx),
-            n_cols=arr.shape[1],
+            data=data, cols=cols, rows=rows,
+            n_rows=len(idx), n_cols=arr.shape[1],
+            mesh=self.sharding.mesh, data_axis=self._row_axis,
         )
 
     def epoch(self) -> Iterator[dict[str, Any]]:

@@ -113,21 +113,51 @@ def gather_batch(data, idx, dtype_overrides=None):
     return batch
 
 
+def _scatter_wire_shards(wire):
+    """Densify a mesh-sharded CSR wire: each data shard scatters its own
+    (1, capacity) COO block into its (B/n_shards, F) row block under
+    ``shard_map`` — the result is the same row-sharded (B, F) global
+    batch the dense wire places, with ~5-7× fewer host→device bytes."""
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = wire.mesh.shape[wire.data_axis]
+    local_rows = wire.n_rows // n_shards
+    n_cols = wire.n_cols
+
+    def local(data, cols, rows):
+        dense = jnp.zeros((local_rows, n_cols), jnp.float32)
+        return dense.at[
+            rows[0].astype(jnp.int32), cols[0].astype(jnp.int32)
+        ].add(data[0].astype(jnp.float32), mode="drop")
+
+    return jax.shard_map(
+        local,
+        mesh=wire.mesh,
+        in_specs=(P(wire.data_axis),) * 3,
+        out_specs=P(wire.data_axis),
+        check_vma=False,
+    )(wire.data, wire.cols, wire.rows)
+
+
 def materialize_batch(batch):
     """Densify any :class:`~scvae_tpu.data.pipeline.CSRWire` fields on
     device: a scatter-add of the padded-COO wire into a zero (B, F)
     matrix (padding entries carry row == B and are dropped).  The host
     ships ~5-7× fewer bytes at single-cell sparsity; XLA fuses the cast
-    and the downstream f32 promotion."""
+    and the downstream f32 promotion.  Mesh-sharded wires scatter per
+    shard under ``shard_map`` (see :func:`_scatter_wire_shards`)."""
     from scvae_tpu.data.pipeline import CSRWire
 
     out = {}
     for k, v in batch.items():
         if isinstance(v, CSRWire):
-            dense = jnp.zeros((v.n_rows, v.n_cols), jnp.float32)
-            out[k] = dense.at[
-                v.rows.astype(jnp.int32), v.cols.astype(jnp.int32)
-            ].add(v.data.astype(jnp.float32), mode="drop")
+            if v.mesh is not None:
+                out[k] = _scatter_wire_shards(v)
+            else:
+                dense = jnp.zeros((v.n_rows, v.n_cols), jnp.float32)
+                out[k] = dense.at[
+                    v.rows.astype(jnp.int32), v.cols.astype(jnp.int32)
+                ].add(v.data.astype(jnp.float32), mode="drop")
         else:
             out[k] = v
     return out
