@@ -97,6 +97,12 @@ ARI_TRAIN_BUDGET_S = float(os.environ.get("SCVAE_ARI_BUDGET_S", 300))
 # tunnel measure 39-41 ms; the contaminated round-4 driver capture showed
 # 45.7-61.1 ms and >5% rep scatter.
 FLOOR_BOUND_MS = float(os.environ.get("SCVAE_BENCH_FLOOR_BOUND_MS", 45.0))
+# The 1M-cell legs stage a 4 MB epoch permutation per dispatched epoch
+# over the tunnelled host link, so their dispatch floor is structurally
+# ~200 ms — a floor bound at the 68k level would flag them permanently.
+MILLION_FLOOR_BOUND_MS = float(
+    os.environ.get("SCVAE_BENCH_MILLION_FLOOR_BOUND_MS", 400.0)
+)
 DISPERSION_BOUND = float(
     os.environ.get("SCVAE_BENCH_DISPERSION_BOUND", 0.05)
 )
@@ -118,10 +124,22 @@ PREVIOUS = {
         "r04_judge_idle_chip": 1_880_000,
     },
     "gmvae_ari": {"r04_driver": 0.2577},
-    "million_device_train": {"r04_builder_session": 2_530_000},
-    "million_iw_eval": {"r04_builder_session": 1_420_000},
-    "million_latent": {"r04_builder_session": 6_100_000},
-    "streaming_csr": {"r04_builder_session": 7_146},
+    "million_device_train": {
+        "r04_builder_session": 2_530_000,
+        "r05_builder_contended": 3_745_631,
+    },
+    "million_iw_eval": {
+        "r04_builder_session": 1_420_000,
+        "r05_builder_contended": 1_975_406,
+    },
+    "million_latent": {
+        "r04_builder_session": 6_100_000,
+        "r05_builder_contended": 7_937_071,
+    },
+    "streaming_csr": {
+        "r04_builder_session": 7_146,
+        "r05_builder_contended": 8_601,
+    },
 }
 
 # Device bf16 peak, set in main() once the backend is known; lets every
@@ -309,7 +327,8 @@ class EpochRunner:
         return value
 
 
-def slope_time(run, k1=2, k2=8, reps=3, max_reps=6):
+def slope_time(run, k1=2, k2=8, reps=3, max_reps=6,
+               floor_bound_ms=None):
     """Per-unit steady-state seconds via the slope between k1- and
     k2-unit dispatch groups (one sync fetch each).
 
@@ -321,6 +340,8 @@ def slope_time(run, k1=2, k2=8, reps=3, max_reps=6):
     best-of-reps (min t1, min t2), which discards one-sided contention
     spikes.  Returns ``(per_unit_seconds, quality_dict)``.
     """
+    if floor_bound_ms is None:
+        floor_bound_ms = FLOOR_BOUND_MS
     run(1)  # warm up (compile + first-touch)
     t1s: list[float] = []
     t2s: list[float] = []
@@ -351,7 +372,7 @@ def slope_time(run, k1=2, k2=8, reps=3, max_reps=6):
     per, floor_ms, disp = estimate()
     retries = 0
     while (
-        (disp > DISPERSION_BOUND or floor_ms > FLOOR_BOUND_MS)
+        (disp > DISPERSION_BOUND or floor_ms > floor_bound_ms)
         and len(slopes) < max_reps
         and remaining_budget() > 45
     ):
@@ -363,17 +384,19 @@ def slope_time(run, k1=2, k2=8, reps=3, max_reps=6):
         "rep_dispersion": round(disp, 4),
         "contention_retries": retries,
         "quality_ok": bool(
-            disp <= DISPERSION_BOUND and floor_ms <= FLOOR_BOUND_MS
+            disp <= DISPERSION_BOUND and floor_ms <= floor_bound_ms
         ),
+        "floor_bound_ms": floor_bound_ms,
     }
     return per, quality
 
 
 def bench_training(config, data, n_cells, batch, budget_key, configs,
-                   batch_dtypes=None, k1=2, k2=8):
+                   batch_dtypes=None, k1=2, k2=8, floor_bound_ms=None):
     runner = EpochRunner(config, data, n_cells, batch,
                          batch_dtypes=batch_dtypes)
-    per_epoch, quality = slope_time(runner.run, k1=k1, k2=k2)
+    per_epoch, quality = slope_time(runner.run, k1=k1, k2=k2,
+                                    floor_bound_ms=floor_bound_ms)
     steps = runner.steps_per_epoch
     cells_per_sec = steps * batch / per_epoch
     flops_per_epoch = (
@@ -397,7 +420,7 @@ def bench_training(config, data, n_cells, batch, budget_key, configs,
 
 
 def bench_iw_evaluation(config, data, n_cells, batch, n_iw,
-                        k1=1, k2=4) -> dict:
+                        k1=1, k2=4, floor_bound_ms=None) -> dict:
     """IW-ELBO evaluation throughput (BASELINE config 5), slope-timed
     with the same contention defence as the training legs."""
     import jax
@@ -426,7 +449,8 @@ def bench_iw_evaluation(config, data, n_cells, batch, n_iw,
         value = float(out["lower_bound"])
         assert np.isfinite(value)
 
-    per_pass, quality = slope_time(run, k1=k1, k2=k2)
+    per_pass, quality = slope_time(run, k1=k1, k2=k2,
+                                   floor_bound_ms=floor_bound_ms)
     return {
         "cells_per_sec": round(idx.size / per_pass, 1),
         "n_iw": n_iw,
@@ -435,7 +459,7 @@ def bench_iw_evaluation(config, data, n_cells, batch, n_iw,
 
 
 def bench_latent_extraction(config, params, state, data, n_cells,
-                            batch) -> dict:
+                            batch, floor_bound_ms=None) -> dict:
     """Latent extraction (q_z means for every cell), slope-timed; the
     extracted matrix stays device-side — fetching it would measure the
     tunnel, not the chip (a real host DMAs 1M×100 f32 in <1 s)."""
@@ -467,7 +491,8 @@ def bench_latent_extraction(config, params, state, data, n_cells,
             out = latent_epoch(params, state, data, idx)
         assert np.isfinite(float(out))
 
-    per_pass, quality = slope_time(run, k1=1, k2=3)
+    per_pass, quality = slope_time(run, k1=1, k2=3,
+                                   floor_bound_ms=floor_bound_ms)
     return {"cells_per_sec": round(idx.size / per_pass, 1), **quality}
 
 
@@ -865,6 +890,7 @@ def main() -> None:
                 config, data_m, MILLION_CELLS, BATCH,
                 "million_device_train", configs,
                 batch_dtypes=dtypes_m, k1=1, k2=3,
+                floor_bound_ms=MILLION_FLOOR_BOUND_MS,
             )
             log(f"1M train: "
                 f"{configs['million_device_train']['cells_per_sec']:,.0f} "
@@ -872,7 +898,8 @@ def main() -> None:
             emit(partial=True)
             log("benchmarking 1M-cell IW evaluation…")
             entry = bench_iw_evaluation(
-                config, data_m, MILLION_CELLS, 1024, n_iw=8, k1=1, k2=2
+                config, data_m, MILLION_CELLS, 1024, n_iw=8, k1=1, k2=2,
+                floor_bound_ms=MILLION_FLOOR_BOUND_MS,
             )
             entry["previous"] = PREVIOUS["million_iw_eval"]
             configs["million_iw_eval"] = entry
@@ -880,7 +907,8 @@ def main() -> None:
             log("benchmarking 1M-cell latent extraction…")
             params_m, state_m = vae.init(config, jax.random.PRNGKey(0))
             entry = bench_latent_extraction(
-                config, params_m, state_m, data_m, MILLION_CELLS, 2048
+                config, params_m, state_m, data_m, MILLION_CELLS, 2048,
+                floor_bound_ms=MILLION_FLOOR_BOUND_MS,
             )
             entry["previous"] = PREVIOUS["million_latent"]
             configs["million_latent"] = entry

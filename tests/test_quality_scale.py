@@ -84,12 +84,14 @@ class TestPlantedClusterQuality:
         ari = adjusted_rand_index(
             label_ids, transformed.predicted_cluster_ids
         )
-        assert ari >= 0.6, (
-            f"planted-cluster ARI {ari:.3f} below 0.6 at F={F} "
-            "(recorded known-good 0.9839)"
+        assert ari >= 0.83, (
+            f"planted-cluster ARI {ari:.3f} below 0.83 at F={F} "
+            "(recorded known-good 0.9839; floor = recorded − 0.15 per "
+            "VERDICT r04 item 3 — protects against degradation, not "
+            "just collapse)"
         )
         lb = result.history["training"]["lower_bound"][-1]
-        assert lb > -1800, (
+        assert lb > -1700, (
             f"final training lower bound {lb:.0f} below the F={F} band "
             "(recorded known-good -1619; epoch-1 value is already -1948)"
         )
