@@ -112,10 +112,15 @@ DISPERSION_BOUND = float(
 # re-measurement (the code's demonstrated level; a new record far below
 # it indicates harness/environment failure, not regression).
 PREVIOUS = {
-    "vae_nb": {"r04_driver": 3_034_382, "r04_judge_idle_chip": 3_672_698},
+    "vae_nb": {
+        "r04_driver": 3_034_382,
+        "r04_judge_idle_chip": 3_672_698,
+        "r05_builder_idle": 3_772_000,
+    },
     "vae_nb_large_batch": {
         "r04_driver": 3_230_628,
         "r04_judge_idle_chip": 4_049_852,
+        "r05_builder_idle": 4_383_752,
     },
     "vae_zinb_cat": {"r04_driver": 1_140_262},
     "gmvae_nb": {"r04_driver": 523_551},
