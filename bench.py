@@ -103,6 +103,12 @@ FLOOR_BOUND_MS = float(os.environ.get("SCVAE_BENCH_FLOOR_BOUND_MS", 45.0))
 MILLION_FLOOR_BOUND_MS = float(
     os.environ.get("SCVAE_BENCH_MILLION_FLOOR_BOUND_MS", 400.0)
 )
+# The GMVAE sweep leg's floor measures 40-61 ms even on a clean chip
+# (its B=1024 epochs dispatch 2x the steps of the VAE legs); 45 ms
+# would flap.
+GMVAE_FLOOR_BOUND_MS = float(
+    os.environ.get("SCVAE_BENCH_GMVAE_FLOOR_BOUND_MS", 70.0)
+)
 DISPERSION_BOUND = float(
     os.environ.get("SCVAE_BENCH_DISPERSION_BOUND", 0.05)
 )
@@ -115,35 +121,39 @@ PREVIOUS = {
     "vae_nb": {
         "r04_driver": 3_034_382,
         "r04_judge_idle_chip": 3_672_698,
-        "r05_builder_idle": 3_772_000,
+        "r05_builder_idle": 3_787_795,
     },
     "vae_nb_large_batch": {
         "r04_driver": 3_230_628,
         "r04_judge_idle_chip": 4_049_852,
         "r05_builder_idle": 4_383_752,
     },
-    "vae_zinb_cat": {"r04_driver": 1_140_262},
-    "gmvae_nb": {"r04_driver": 523_551},
+    "vae_zinb_cat": {
+        "r04_driver": 1_140_262,
+        "r05_builder_idle": 1_139_983,
+    },
+    "gmvae_nb": {"r04_driver": 523_551, "r05_builder_idle": 528_704},
     "iw_evaluation": {
         "r04_driver": 1_932_924,
         "r04_judge_idle_chip": 1_880_000,
+        "r05_builder_idle": 1_907_542,
     },
     "gmvae_ari": {"r04_driver": 0.2577},
     "million_device_train": {
         "r04_builder_session": 2_530_000,
-        "r05_builder_contended": 3_745_631,
+        "r05_builder_idle": 3_760_881,
     },
     "million_iw_eval": {
         "r04_builder_session": 1_420_000,
-        "r05_builder_contended": 1_975_406,
+        "r05_builder_idle": 1_982_153,
     },
     "million_latent": {
         "r04_builder_session": 6_100_000,
-        "r05_builder_contended": 7_937_071,
+        "r05_builder_idle": 13_003_835,
     },
     "streaming_csr": {
         "r04_builder_session": 7_146,
-        "r05_builder_contended": 8_601,
+        "r05_builder_idle": 8_711,
     },
 }
 
@@ -837,6 +847,7 @@ def main() -> None:
                 bench_training(
                     config_gm, data, N_CELLS, gm_batch, "x", sub,
                     batch_dtypes=_bf16_batch_dtypes(host_arrays, config_gm),
+                    floor_bound_ms=GMVAE_FLOOR_BOUND_MS,
                 )
                 sweep[str(gm_batch)] = sub["x"]["cells_per_sec"]
                 if best is None or (
