@@ -1010,6 +1010,30 @@ def main() -> None:
 
     emit(partial=False)
 
+    # One source of perf truth, closed mechanically: persist this run's
+    # final record as BENCH_LATEST.json and regenerate the README/STATUS
+    # performance blocks from it, so the docs always match the newest
+    # capture — including the driver's end-of-round run, which executes
+    # after the round's final commit (tools/perf_docs.py; VERDICT r04
+    # item 2).  Never allowed to break the bench itself.
+    try:
+        import subprocess
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        latest = os.path.join(root, "BENCH_LATEST.json")
+        with open(latest, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+        regen = subprocess.run(
+            [sys.executable, os.path.join(root, "tools", "perf_docs.py"),
+             latest],
+            capture_output=True, text=True, timeout=60,
+        )
+        log(f"perf docs regenerated from BENCH_LATEST.json "
+            f"(rc={regen.returncode})")
+    except Exception as error:
+        log(f"perf-doc regeneration skipped: {error}")
+
 
 if __name__ == "__main__":
     main()

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 
 import perf_docs  # noqa: E402
 
-SRC_RE = re.compile(r"from (BENCH_r\d+\.json)")
+SRC_RE = re.compile(r"from (BENCH_r\d+\.json|BENCH_LATEST\.json)")
 
 
 def _block_and_source(path):

@@ -36,7 +36,17 @@ END = "<!-- PERF:END -->"
 
 
 def newest_bench() -> str:
+    """Newest driver record: the highest-numbered ``BENCH_rNN.json``, or
+    ``BENCH_LATEST.json`` when it is more recent (``bench.py`` writes it
+    at the end of every run and regenerates the doc blocks from it, so
+    the docs track the newest capture even before the driver's record
+    file is committed)."""
     paths = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    latest = os.path.join(ROOT, "BENCH_LATEST.json")
+    if os.path.exists(latest) and (
+        not paths or os.path.getmtime(latest) >= os.path.getmtime(paths[-1])
+    ):
+        return latest
     if not paths:
         raise SystemExit("no BENCH_r*.json found")
     return paths[-1]
@@ -107,6 +117,23 @@ def entry_row(name: str, entry: dict, description: str) -> str | None:
     )
 
 
+def source_label(src: str) -> str:
+    if src == "BENCH_LATEST.json":
+        return (
+            "**Record: `BENCH_LATEST.json`** — written by `bench.py` at "
+            "the end of its most recent run and regenerated into this "
+            "block automatically.  The driver's end-of-round run "
+            "overwrites it, at which point this block IS the official "
+            "record; a builder-session run in between is labelled by its "
+            "own capture here and is not official until then."
+        )
+    return (
+        f"**Official record: `{src}`** (driver-captured; every number "
+        "below is from that artifact — regenerate this block with "
+        "`python tools/perf_docs.py` after each driver capture)."
+    )
+
+
 LEGS = [
     ("vae_nb", "VAE-NB training (headline, 68k×2048)"),
     ("vae_nb_large_batch", "VAE-NB large batch (best of 4096/8192)"),
@@ -125,10 +152,8 @@ def render_status(record: dict, src: str) -> str:
         f"<!-- PERF:BEGIN generated by tools/perf_docs.py from {src} — "
         "do not hand-edit -->",
         "",
-        f"**Official record: `{src}`** (driver-captured on "
-        f"{record.get('device_kind', '?')}; every number below is from "
-        "that artifact — regenerate this block with "
-        "`python tools/perf_docs.py` after each driver capture).  "
+        source_label(src)
+        + f"  Device: {record.get('device_kind', '?')}.  "
         "`previous` columns give context only: driver records of earlier "
         "rounds and non-official idle-chip/builder re-measurements.",
         "",
@@ -170,7 +195,7 @@ def render_readme(record: dict, src: str) -> str:
     parts = [
         f"<!-- PERF:BEGIN generated by tools/perf_docs.py from {src} — "
         "do not hand-edit -->",
-        f"  Official driver-captured record (`{src}`): "
+        f"  Newest captured record (`{src}`): "
         f"**{fmt_cells(v.get('cells_per_sec'))} cells/s/chip** "
         f"({v.get('ms_per_step', '?')} ms/step, MFU "
         f"{fmt_pct(v.get('mfu'))}) on VAE-NB training on one "
@@ -192,7 +217,9 @@ def render_readme(record: dict, src: str) -> str:
     if extras:
         parts[-1] += "; " + " and ".join(extras)
     parts[-1] += (
-        ".  README quotes only driver-captured numbers; regenerate this "
+        ".  This block regenerates from the newest bench capture "
+        "(`bench.py` rewrites it after every run — the driver's "
+        "end-of-round capture is the official one); regenerate this "
         "block with `python tools/perf_docs.py` after each driver "
         "capture."
     )
