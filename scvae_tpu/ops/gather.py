@@ -37,13 +37,35 @@ from scvae_tpu.utils.struct import pytree_dataclass, static_field
 # sublane alignment per itemsize: (8, 128) tiles, 32-bit granules
 _ALIGN = {4: 8, 2: 16, 1: 32}
 
-_ROW_TILES = (256, 128, 64, 32, 16, 8)  # rows per program, best first
+# rows per program, best first: larger tiles amortise the per-program
+# issue/wait/unpack bubbles (round-5 sweep: tb=1024 measured ~3% faster
+# full-step than 256 standalone-gather ~6%); a SINGLE shared DMA
+# semaphore makes tb > 500 possible at all — per-row semaphores exceed
+# the core's 2 KB sflag space.
+_ROW_TILES = (1024, 512, 256, 128, 64, 32, 16, 8)
 
 
-def _rows_per_program(batch: int) -> int | None:
+# Scoped VMEM for a pallas program is 16 MB; the gather's per-program
+# footprint is the packed scratch block plus TWO (tb, F) blocks per
+# output dtype (Mosaic double-buffers output blocks across grid
+# programs — measured: f32-only at tb=1024 allocates 4 + 2·8 = 20 MB).
+# 15 MB leaves headroom for indices/semaphores (~40 KB observed).
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def _rows_per_program(
+    batch: int, bytes_per_row: int | None = None
+) -> int | None:
     for tb in _ROW_TILES:
-        if batch % tb == 0:
-            return tb
+        if batch % tb:
+            continue
+        if (
+            bytes_per_row is not None
+            and tb * bytes_per_row > _VMEM_BUDGET_BYTES
+            and tb > _ROW_TILES[-1]
+        ):
+            continue
+        return tb
     return None
 
 
@@ -158,15 +180,20 @@ def pack_rows(values: np.ndarray, sharding=None) -> PackedRows:
 def _make_gather_kernel(a, f, tb, out_dtypes):
     def kernel(idx_ref, src_ref, *out_and_scratch):
         outs = out_and_scratch[: len(out_dtypes)]
-        scratch, sems = out_and_scratch[len(out_dtypes):]
+        scratch, sem = out_and_scratch[len(out_dtypes):]
         i = pl.program_id(0)
         base = i * tb
 
+        # All row copies share ONE DMA semaphore: each start increments
+        # it by its byte count and each wait consumes one copy's worth —
+        # with identical-size copies the tb waits drain exactly the tb
+        # completions.  Per-row semaphores would cap tb at ~500 (the
+        # core's 2 KB sflag space).
         def start(r, _):
             pltpu.make_async_copy(
                 src_ref.at[pl.ds(idx_ref[base + r] * a, a), :],
                 scratch.at[pl.ds(r * a, a), :],
-                sems.at[r],
+                sem,
             ).start()
             return ()
 
@@ -176,7 +203,7 @@ def _make_gather_kernel(a, f, tb, out_dtypes):
             pltpu.make_async_copy(
                 src_ref.at[pl.ds(idx_ref[base + r] * a, a), :],
                 scratch.at[pl.ds(r * a, a), :],
-                sems.at[r],
+                sem,
             ).wait()
             return ()
 
@@ -206,7 +233,7 @@ def _gather_call(data, idx, static):
             ],
             scratch_shapes=[
                 pltpu.VMEM((tb * a, fa), src_dtype),
-                pltpu.SemaphoreType.DMA((tb,)),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
@@ -255,7 +282,11 @@ def gather_rows(
 
     if reference_gather_enabled():
         return _reference_gather(packed, idx, out_dtypes)
-    tb = _rows_per_program(idx.shape[0])
+    bytes_per_row = packed.n_cols * (
+        packed.data.dtype.itemsize
+        + 2 * sum(jnp.dtype(d).itemsize for d in out_dtypes)
+    )
+    tb = _rows_per_program(idx.shape[0], bytes_per_row)
     if tb is None:
         raise ValueError(f"batch {idx.shape[0]} not divisible by 8")
     static = (
